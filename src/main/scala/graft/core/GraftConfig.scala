@@ -1,0 +1,101 @@
+package graft.core
+
+/** The engine's single configuration record — the analog of the reference's
+  * `Prefs` (reference: prefs.h:7-24).
+  *
+  * The reference exposes ONE similarity knob: a slider value v in [1,100]
+  * (default 89) that drives BOTH thresholds (reference: mainwindow.cpp:110-121,
+  * duplicated at comparison.cpp:478-491):
+  *   thresholdSSIM  = v / 100.0          -> jaccardThreshold
+  *   thresholdPhash = round(64 * v/100)  -> simBitsThreshold (89 -> 57)
+  * That invariant is preserved here: `threshold` is the only similarity knob;
+  * both derived thresholds are computed, never set independently.
+  *
+  * Semantic transplants pinned (SURVEY.md §7.0):
+  *  - duration (ms) -> text length (chars); the 1000 ms tolerance of the
+  *    duration modifier (reference: comparison.cpp:168-174) becomes
+  *    `lenTolChars` (absolute character tolerance, default 64 — documented
+  *    choice, covered by tests on both sides of the boundary).
+  *  - SSIM block size (reference: prefs.h:17, default 16) -> shingle size `k`
+  *    in tokens (default 8: the exact-verify granularity knob; 16-token
+  *    shingles are too brittle for 50-token documents, 8 keeps SimHash stable
+  *    under single-token edits at the corpus' length distribution).
+  *  - cutEnds sampling (reference: prefs.h:15, video.cpp:171,181-182) ->
+  *    head/tail fingerprints over the first/last half of the token stream.
+  *  - monochrome reject < 1500 gray-delta (reference: video.cpp:203-211,
+  *    video.h:65) -> fewer than `minDistinctShingles` distinct shingles
+  *    yields a NULL fingerprint for that slot.
+  */
+final case class GraftConfig(
+    /** The one similarity knob, v in [1,100]; default 89 (reference: mainwindow.ui:259-261). */
+    threshold: Int = 89,
+    /** Comparison mode: false = fingerprint-only (reference _PHASH), true = gated
+      * exact verify (reference _SSIM, prefs.h:14). */
+    exactVerify: Boolean = false,
+    /** cutEnds sampling: separate head/tail fingerprints (reference prefs.h:15 default). */
+    cutEnds: Boolean = true,
+    /** Shingle size in tokens (the _ssimBlockSize analog; see scaladoc above). */
+    k: Int = 8,
+    /** MinHash permutations. */
+    numPerm: Int = 128,
+    /** MinHash LSH bands (rows per band = numPerm / minhashBands). */
+    minhashBands: Int = 16,
+    /** SimHash LSH band width in bits; 64/simhashBandBits bands. 8x8 banding
+      * guarantees (pigeonhole) that any pair within Hamming distance 7 shares
+      * at least one exact band — recall 1.0 at the default 57/64 threshold. */
+    simhashBandBits: Int = 8,
+    /** Length-modifier tolerance in characters (the 1000 ms analog, see scaladoc). */
+    lenTolChars: Long = 64L,
+    /** Same-length bonus bits (reference: prefs.h:23 `_sameDurationModifier` = 1). */
+    sameLenBonus: Int = 1,
+    /** Different-length penalty bits (reference: prefs.h:22 `_differentDurationModifier` = 4). */
+    diffLenPenalty: Int = 4,
+    /** Low-entropy reject: slots with fewer distinct shingles get a NULL fingerprint. */
+    minDistinctShingles: Int = 3,
+    /** Seed for all hashing (shingles, MinHash permutations, corpus synthesis). */
+    seed: Long = 42L,
+    /** Number of partitions for the signatures store (part_id = pmod(xxh64(url), P)). */
+    storeParts: Int = 32,
+    /** Candidate band keys seen by more than this many rows are routed through the
+      * salted triangle self-join instead of the plain equi-join (skew handling,
+      * north_rule "salted keys for skewed buckets"). */
+    heavyBandKeyCap: Int = 2000,
+    /** Salt buckets for the heavy-key triangle join. */
+    saltBuckets: Int = 8,
+    /** Minimum verbatim-overlap length (chars) for the suffix-array substring
+      * pass (the SSIM structural-similarity analog, SURVEY §2.8 V4). */
+    minSubstringOverlap: Int = 200
+) {
+  require(threshold >= 1 && threshold <= 100, "threshold is the [1,100] slider value")
+  require(64 % simhashBandBits == 0, "simhash bands must tile 64 bits")
+  require(numPerm % minhashBands == 0, "minhash bands must tile numPerm")
+
+  /** reference: mainwindow.cpp:112 `_thresholdSSIM = value / 100.0` */
+  def jaccardThreshold: Double = threshold / 100.0
+
+  /** reference: mainwindow.cpp:113-114 `round(64 * _thresholdSSIM)` -> 57 at default. */
+  def simBitsThreshold: Int = math.round(64.0 * threshold / 100.0).toInt
+
+  /** Exact-verify gate: only verify when fingerprint similarity is at least
+    * max(threshold, 44) — i.e. at most 20 of 64 bits differ
+    * (reference: comparison.cpp:141-142). */
+  def exactVerifyGate: Int = math.max(simBitsThreshold, 44)
+
+  def simhashBands: Int = 64 / simhashBandBits
+  def minhashRowsPerBand: Int = numPerm / minhashBands
+
+  /** Version/compat stamp for the signatures store — the analog of the
+    * reference's `version` table (reference: db.cpp:46-47; readme.md:80 warns
+    * old caches are incompatible). Any change to fingerprint-affecting config
+    * invalidates cached signatures. */
+  def configFp: String = {
+    val s = s"graft1|k=$k|perm=$numPerm|mb=$minhashBands|sb=$simhashBandBits|" +
+      s"cutEnds=$cutEnds|minShingles=$minDistinctShingles|seed=$seed"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}
+
+object GraftConfig {
+  val default: GraftConfig = GraftConfig()
+}
