@@ -38,12 +38,23 @@ final case class GraftConfig(
     k: Int = 8,
     /** MinHash permutations. */
     numPerm: Int = 128,
-    /** MinHash LSH bands (rows per band = numPerm / minhashBands). */
-    minhashBands: Int = 16,
-    /** SimHash LSH band width in bits; 64/simhashBandBits bands. 8x8 banding
-      * guarantees (pigeonhole) that any pair within Hamming distance 7 shares
-      * at least one exact band — recall 1.0 at the default 57/64 threshold. */
-    simhashBandBits: Int = 8,
+    /** MinHash LSH bands (rows per band = numPerm / minhashBands). Default
+      * 32 bands x 4 rows: P(candidate) = 1-(1-J^4)^32 — ~1.0 at J=0.8,
+      * 0.9998 at J=0.7 — sized to catch threshold-boundary pairs (raw
+      * Hamming 4..8) that the simhash bands no longer guarantee. */
+    minhashBands: Int = 32,
+    /** SimHash LSH band width in bits; 64/simhashBandBits bands per slot.
+      * Pigeonhole: B bands of w bits guarantee any pair within Hamming B-1
+      * shares an exact band. w=8 (B=8) guarantees the full <=7-bit default
+      * threshold but keys carry only 8 bits of entropy — random docs collide
+      * at 1/256 per band, which goes quadratic beyond ~10^4 docs. Default
+      * w=16 (B=4, guarantee <=3) keeps the guarantee for the near-identical
+      * mass (exact-ish pairs; the intact slot of head/tail-modified cutEnds
+      * pairs) with 65536-value keys, and delegates the Hamming 4..8 boundary
+      * zone to the minhash family; the recall >=0.99 gate is verified
+      * empirically by the pipeline spec. Shrink to 8 only for small corpora
+      * where guaranteed recall 1.0 matters more than join load. */
+    simhashBandBits: Int = 16,
     /** Length-modifier tolerance in characters (the 1000 ms analog, see scaladoc). */
     lenTolChars: Long = 64L,
     /** Same-length bonus bits (reference: prefs.h:23 `_sameDurationModifier` = 1). */
@@ -52,6 +63,12 @@ final case class GraftConfig(
     diffLenPenalty: Int = 4,
     /** Low-entropy reject: slots with fewer distinct shingles get a NULL fingerprint. */
     minDistinctShingles: Int = 3,
+    /** Slots with fewer distinct shingles than this also emit 8-bit simhash
+      * rescue bands (8 bands x 8 bits => guaranteed candidate at Hamming <=7):
+      * short slots have noisy SimHash bits AND noisy minhash banding, so the
+      * probabilistic families under-recall exactly there. Bounded cost: only
+      * short docs, and heavy keys still route through the salted join. */
+    shortSlotShingles: Int = 64,
     /** Seed for all hashing (shingles, MinHash permutations, corpus synthesis). */
     seed: Long = 42L,
     /** Number of partitions for the signatures store (part_id = pmod(xxh64(url), P)). */
@@ -62,9 +79,15 @@ final case class GraftConfig(
     heavyBandKeyCap: Int = 2000,
     /** Salt buckets for the heavy-key triangle join. */
     saltBuckets: Int = 8,
-    /** Minimum verbatim-overlap length (chars) for the suffix-array substring
-      * pass (the SSIM structural-similarity analog, SURVEY §2.8 V4). */
-    minSubstringOverlap: Int = 200
+    /** Enable the suffix-array substring pass (the SSIM structural-similarity
+      * analog, SURVEY §2.8 V4). Off by default, like the reference ships with
+      * PHASH mode rather than SSIM (prefs.h:14). */
+    substringPass: Boolean = false,
+    /** Minimum verbatim-overlap length (chars) for the substring pass. */
+    minSubstringOverlap: Int = 200,
+    /** Sampling modulus for the substring pass's shingle-band keys: shingle
+      * hashes with h % mod == 0 become band keys (winnowing-style sample). */
+    shingleSampleMod: Int = 16
 ) {
   require(threshold >= 1 && threshold <= 100, "threshold is the [1,100] slider value")
   require(64 % simhashBandBits == 0, "simhash bands must tile 64 bits")

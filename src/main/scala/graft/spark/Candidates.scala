@@ -1,0 +1,160 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.GraftConfig
+
+/** Candidate-pair generation: the Spark replacement for the reference's
+  * O(n^2) all-pairs nested loop (comparison.cpp:34-42, 101-126) — SURVEY §2.3
+  * J2. All band families share one equi-join on (band_id, key); matching is
+  * slot-wise like the reference (hash[0] vs hash[0], hash[1] vs hash[1],
+  * comparison.cpp:133-136), so every family is slot-wise too:
+  *
+  *  - simhash slices (head: 0..B-1, tail: B..2B-1): w-bit slices of the slot
+  *    simhash. Pigeonhole: B bands of w bits => any pair within Hamming B-1
+  *    on that slot shares a band. Default w=16 (B=4, guarantee <=3, 65536-value
+  *    keys) — covers the near-identical mass with joinable key entropy.
+  *  - slot-wise minhash bands (head: 100.., tail: 200..): 64-bit hash of r
+  *    consecutive slot-minhash rows. P(candidate) = 1-(1-J_slot^4)^32 — ~1.0
+  *    at the slot Jaccard levels that clear the 57/64 Hamming threshold.
+  *    Slot-wise (not full-doc) because a pair can match on one nearly
+  *    identical slot while global Jaccard is low (shared boilerplate heads).
+  *  - short-slot rescue bands (band_id 300..): dense r=2 x 64 minhash bands,
+  *    emitted only for slots with < shortSlotShingles distinct shingles.
+  *    Short slots have noisy SimHash bits (a matching pair can sit at slot
+  *    Hamming 5-8 with slot Jaccard ~0.3), where r=4 banding under-recalls;
+  *    r=2 x 64 catches J_slot=0.3 w.p. 0.9976 — and unlike low-bit simhash
+  *    slices, minhash keys collide only for genuinely similar docs, so the
+  *    family adds no random join load.
+  *  - (optional, cfg.substringPass) sampled-shingle bands (band_id 1000):
+  *    key = shingle hash where hash % sampleMod == 0 (winnowing-style
+  *    sample) — the candidate source for the suffix-array substring pass
+  *    (SURVEY §2.8 V4), which catches long verbatim overlaps whose
+  *    Jaccard/Hamming are far from the thresholds.
+  *
+  * Scale note (10^12 docs): exact-dup pre-grouping (Pipeline) removes the
+  * dominant duplicate mass before banding; 16-bit simhash keys hold to ~10^8
+  * reps per shard-of-corpus; beyond that, drop the simhash slice families
+  * (minhash keys carry full 64-bit entropy at any scale) and lean on the
+  * recall tests to re-verify the >=0.99 gate. Hot keys that remain are
+  * handled below by the salted triangle join, not by luck.
+  */
+object Candidates {
+
+  /** Band rows are slim — (band_id, key, url) only. Scoring payloads join
+    * back AFTER pair-dedup: the deduped pair count is orders of magnitude
+    * smaller than the band-join volume, so two hash joins against a slim
+    * signature projection beat carrying payload bytes through the shuffle. */
+
+  /** Explode signatures (representatives) into band rows.
+    * band_id layout: 0..B-1 simhash head slices, B..2B-1 simhash tail slices,
+    * 100.. minhash head bands, 200.. minhash tail bands, 300../400.. 8-bit
+    * rescue slices for short head/tail slots, 1000 sampled shingles. */
+  def bands(reps: DataFrame, cfg: GraftConfig): DataFrame = {
+    val B = cfg.simhashBands
+    val w = cfg.simhashBandBits
+    val mask = (1L << w) - 1
+
+    def slices(c: Column, width: Int, nb: Int, idBase: Int, gate: Column): Seq[Column] =
+      (0 until nb).map { b =>
+        struct(lit(idBase + b).as("band_id"),
+          when(gate,
+            shiftrightunsigned(c, b * width).bitwiseAND(lit((1L << width) - 1))).as("key"))
+      }
+
+    val headBands = slices(col("simhash_head"), w, B, 0, lit(true))
+    val tailBands = slices(col("simhash_tail"), w, B, B, lit(true))
+    val mhHead: Seq[Column] = (0 until cfg.minhashBands).map { b =>
+      struct(lit(100 + b).as("band_id"), get(col("mh_bands_head"), lit(b)).as("key"))
+    }
+    val mhTail: Seq[Column] = (0 until cfg.minhashBands).map { b =>
+      struct(lit(200 + b).as("band_id"), get(col("mh_bands_tail"), lit(b)).as("key"))
+    }
+    // short-slot rescue: dense r=2 minhash bands (see Fingerprints.rescueKeys)
+    val shortHead: Seq[Column] = (0 until cfg.numPerm / 2).map { b =>
+      struct(lit(300 + b).as("band_id"), get(col("mh_rescue_head"), lit(b)).as("key"))
+    }
+    val shortTail: Seq[Column] = (0 until cfg.numPerm / 2).map { b =>
+      struct(lit(300 + cfg.numPerm / 2 + b).as("band_id"), get(col("mh_rescue_tail"), lit(b)).as("key"))
+    }
+
+    val base = reps
+      .select(col("url"), col("simhash_head"), col("simhash_tail"),
+        col("mh_bands_head"), col("mh_bands_tail"),
+        col("mh_rescue_head"), col("mh_rescue_tail"),
+        explode(array(headBands ++ tailBands ++ mhHead ++ mhTail ++ shortHead ++ shortTail: _*)).as("b"))
+      .select(col("url"), col("b.band_id").as("band_id"), col("b.key").as("key"))
+      .filter(col("key").isNotNull)
+
+    if (!cfg.substringPass) base
+    else {
+      // sampled full-doc shingles as band keys (all under one band_id: the
+      // key IS the shingle hash, 64-bit entropy)
+      val sampled = reps
+        .select(col("url"),
+          explode(filter(concat(col("shingles_head"), col("shingles_tail")),
+            s => pmod(s, lit(cfg.shingleSampleMod)) === 0)).as("key"))
+        .select(col("url"), lit(1000).as("band_id"), col("key"))
+      base.unionByName(sampled)
+    }
+  }
+
+  /** Self-join bands into distinct candidate pairs (url_a < url_b), with
+    * explicit salted handling of heavy band keys.
+    *
+    * Heavy keys (> cfg.heavyBandKeyCap rows — boilerplate bands, near-constant
+    * simhash slices) are routed through a triangle-bucket replicated join
+    * (theta-join partitioning): each row gets bucket b = hash(url) % s and is
+    * replicated to the s tasks {(min(b,r), max(b,r))}; task (i,j) emits
+    * cross-bucket pairs only (i<j) or same-bucket pairs (i==j). Same total
+    * pair work, but spread over s(s+1)/2 reducers instead of one — the
+    * north-rule "salted keys for skewed buckets". AQE skew-join remains on as
+    * backstop for moderately hot keys.
+    */
+  def candidatePairs(reps: DataFrame, cfg: GraftConfig): DataFrame = {
+    // the band relation feeds the key-count pass, both sides of the light
+    // self-join and both sides of the heavy triangle join — cache it once
+    // rather than re-exploding 6x (LRU eviction reclaims it under pressure)
+    val bnds = bands(reps, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val keyCounts = bnds.groupBy("band_id", "key").count()
+    val heavyKeys = keyCounts.filter(col("count") > cfg.heavyBandKeyCap)
+      .select("band_id", "key")
+
+    val light = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
+    val la = light.withColumnRenamed("url", "url_a")
+    val lb = light.withColumnRenamed("url", "url_b")
+    val lightPairs = la.join(lb, Seq("band_id", "key"))
+      .filter(col("url_a") < col("url_b"))
+      .select(col("url_a"), col("url_b"), col("band_id"))
+
+    val s = cfg.saltBuckets
+    val heavy = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(s)).cast("int"))
+      .withColumn("r", explode(array((0 until s).map(lit): _*)))
+      .withColumn("bi", least(col("bucket"), col("r")))
+      .withColumn("bj", greatest(col("bucket"), col("r")))
+      .drop("r")
+    val ha = heavy.withColumnsRenamed(Map("url" -> "url_a", "bucket" -> "bucket_a"))
+    val hb = heavy.withColumnsRenamed(Map("url" -> "url_b", "bucket" -> "bucket_b"))
+    val heavyPairs = ha.join(hb, Seq("band_id", "key", "bi", "bj"))
+      .filter(col("url_a") < col("url_b"))
+      .filter(col("bi") === col("bj") || col("bucket_a") =!= col("bucket_b"))
+      .select(col("url_a"), col("url_b"), col("band_id"))
+
+    // J3 pair dedup (a pair can collide in several bands); remember whether
+    // any colliding band was the sampled-shingle family (substring gate)
+    val dedup = lightPairs.unionByName(heavyPairs)
+      .withColumn("from_ss", col("band_id") >= 1000)
+      .groupBy("url_a", "url_b")
+      .agg(max(col("from_ss")).as("from_ss"))
+
+    // payload join-back at pair volume (Catalyst picks broadcast vs SMJ)
+    val slim = reps.select(col("url"), col("simhash_head"), col("simhash_tail"),
+      col("text_len"), col("size"))
+    val slimA = slim.toDF(slim.columns.map(_ + "_a").toIndexedSeq: _*)
+    val slimB = slim.toDF(slim.columns.map(_ + "_b").toIndexedSeq: _*)
+    dedup.join(slimA, "url_a").join(slimB, "url_b")
+  }
+}

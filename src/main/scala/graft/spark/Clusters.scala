@@ -1,0 +1,120 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Transitive closure over matched pairs — the operator the reference leaves
+  * implicit (the human walks pairs transitively, comparison.cpp:101-126) made
+  * explicit as a distributed union-find (SURVEY §2.9).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond" — public), expressed as
+  * DataFrame self-joins:
+  *   large-star(u): for v in N(u), v > u: emit (v, min(N+(u)))
+  *   small-star(u): for v in N(u), v <= u: emit (v, m) and (u, m),
+  *                  m = min(N-(u) ∪ {u})
+  * Converges to star graphs rooted at component minima in O(log^2 n) rounds;
+  * `localCheckpoint` every round truncates lineage (Catalyst cannot express
+  * fixpoints); convergence check = (count, xor-of-hashes) signature.
+  * cluster_id = min(url) of the component — deterministic (SURVEY C2).
+  */
+object Clusters {
+
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val smaller = sym.filter(col("v") < col("u"))
+    val m = smaller.groupBy("u").agg(min("v").as("m"))
+    val e1 = smaller.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+    val e2 = m.select(col("u"), col("m").as("v"))
+    e1.union(e2).filter(col("u") =!= col("v")).distinct()
+  }
+
+  private def signature(edges: DataFrame): (Long, Long) = {
+    // hashes folded mod p so the ANSI-mode sum cannot overflow Long
+    val row = edges.agg(
+      count(lit(1)).as("c"),
+      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L)).as("h")).head()
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Connected components of an undirected edge list (columns u, v).
+    * Returns (url, cluster_id) for every node that appears in an edge;
+    * callers add singletons. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var edges = pairs.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var sig = signature(edges)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val s2 = signature(edges)
+      converged = s2 == sig
+      sig = s2
+      rounds += 1
+    }
+    // stars: v is the root (= component min); roots label themselves
+    edges.select(col("u").as("url"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("url"), col("v").as("cluster_id")))
+      .groupBy("url").agg(min("cluster_id").as("cluster_id"))
+  }
+
+  /** Cluster assignment for every valid document: matched components plus
+    * singletons (cluster_id = own url). */
+  def assign(validDocs: DataFrame, matchedPairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(
+      matchedPairs.select(col("url_a").as("u"), col("url_b").as("v")))
+    validDocs.join(comp, Seq("url"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("url")))
+  }
+
+  /** Keeper election (SURVEY §2.5 W1): the reference highlights the "better"
+    * video per pair — bigger size, longer duration, newer, as keep-worthy
+    * (comparison.cpp:266-343). Per cluster: rank by size desc, text_len desc,
+    * warc_ts asc (older capture = the original), url asc (total order =>
+    * deterministic). Rank 1 is the keeper. */
+  def electKeepers(clusters: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("size").desc, col("text_len").desc, col("warc_ts").asc, col("url").asc)
+    clusters.withColumn("is_keeper", row_number().over(w) === 1)
+  }
+
+  /** Flagship aggregation: top duplicate clusters by reclaimable bytes
+    * (cluster size sum minus the keeper's copy). */
+  def topClustersByReclaimable(withKeepers: DataFrame, k: Int = 20): DataFrame = {
+    withKeepers.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("size")).as("total_bytes"),
+      (sum(col("size")) - max(when(col("is_keeper"), col("size")).otherwise(lit(0L)))).as("reclaimable_bytes"),
+      min(col("warc_ts")).as("first_seen"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("reclaimable_bytes").desc, col("cluster_id").asc)
+      .limit(k)
+  }
+
+  /** A1 exactly (comparison.cpp:29-47): count of docs with at least one later
+    * match, and the sum over those docs of min(size, size of their FIRST
+    * match in url order). */
+  def matchedReport(matchedPairs: DataFrame): DataFrame = {
+    val firstMatch = matchedPairs
+      .withColumn("min_size", least(col("size_a"), col("size_b")))
+      .groupBy("url_a").agg(min_by(col("min_size"), col("url_b")).as("first_min_size"))
+    firstMatch.agg(
+      count(lit(1)).as("docs_with_match"),
+      sum("first_min_size").as("reclaimable_bytes"))
+  }
+}

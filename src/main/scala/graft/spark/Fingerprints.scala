@@ -1,0 +1,171 @@
+package graft.spark
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+
+/** One signature row — the engine's persisted fingerprint record (the analog
+  * of the reference's SQLite cache row, db.cpp:38-47, plus the in-memory
+  * Video fields that matching needs, video.h:13-66).
+  *
+  * `simhash_head`/`simhash_tail` are nullable (None) where the reference used
+  * the in-band 0 sentinel (video.cpp:210-211); `reject_reason` is set when
+  * the row must not participate in matching (the analog of
+  * `_rejectedVideos` routing, mainwindow.cpp:307-315).
+  */
+final case class SignatureRow(
+    url: String,
+    content_id: String,
+    part_id: Int,
+    warc_ts: Timestamp,
+    lang: String,
+    text_len: Long,
+    size: Long,
+    text_md5: String,
+    simhash_head: Option[Long],
+    simhash_tail: Option[Long],
+    minhash: Array[Long],
+    mh_bands_head: Array[Long],
+    mh_bands_tail: Array[Long],
+    mh_rescue_head: Array[Long],
+    mh_rescue_tail: Array[Long],
+    shingles_head: Array[Long],
+    shingles_tail: Array[Long],
+    extract_ok: Boolean,
+    config_fp: String,
+    reject_reason: Option[String]
+)
+
+/** pages -> signatures: the per-row fingerprint stage (the Spark rendering of
+  * `Video::run`, video.cpp:17-45 — a single narrow map, no shuffle, no
+  * per-row I/O; SURVEY §3.2).
+  */
+object Fingerprints {
+
+  /** content identity = md5(url + "_" + epochMillis(warc_ts)) — the analog of
+    * the reference's md5(filename + "_" + mtime) cache key (db.cpp:22-30):
+    * url-stable, content-version-sensitive. */
+  def contentId(url: String, ts: Timestamp): String = {
+    val s = url + "_" + ts.getTime.toString
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Compute one signature row. Pure; used by both the Spark map and tests. */
+  def signatureOf(url: String, ts: Timestamp, html: Array[Byte], text: String,
+                  lang: String, cfg: GraftConfig, mh: MinHasher): SignatureRow = {
+    val extracted = Extract.text(html)
+    val extractOk = extracted == (if (text == null) "" else text)
+    val sig = DocSignatures.of(extracted, cfg, mh)
+    val reject: Option[String] =
+      if (extracted.isEmpty) Some("empty_text") // F2/F3 validity (video.cpp:19-35)
+      else if (sig.isRejected) Some("low_entropy") // F4 monochrome (video.cpp:40-42)
+      else None
+    // slot-wise minhash band keys, precomputed once. Banding is SLOT-WISE
+    // (head vs head, tail vs tail) because matching is slot-wise
+    // (comparison.cpp:133-136): a pair can match on one nearly-identical
+    // slot while global Jaccard is low (boilerplate heads, modified tails).
+    // 64-bit hashed band keys keep join-key entropy high — see Candidates.
+    def bandKeys(sigArr: Array[Long]): Array[Long] =
+      if (sigArr == null) Array.emptyLongArray
+      else {
+        val rows = cfg.minhashRowsPerBand
+        val buf = new Array[Byte](rows << 3)
+        Array.tabulate(cfg.minhashBands) { b =>
+          var i = 0
+          while (i < rows) {
+            val v = sigArr(b * rows + i)
+            val o = i << 3
+            buf(o) = v.toByte; buf(o + 1) = (v >>> 8).toByte
+            buf(o + 2) = (v >>> 16).toByte; buf(o + 3) = (v >>> 24).toByte
+            buf(o + 4) = (v >>> 32).toByte; buf(o + 5) = (v >>> 40).toByte
+            buf(o + 6) = (v >>> 48).toByte; buf(o + 7) = (v >>> 56).toByte
+            i += 1
+          }
+          XXH64.hashBytes(buf, 0, rows << 3, cfg.seed + b)
+        }
+      }
+    val mhHead = mh.signature(sig.shinglesHead)
+    val mhTail = mh.signature(sig.shinglesTail)
+    // short-slot rescue: dense r=2 minhash bands, emitted only for slots with
+    // few shingles — there SimHash bits and r=4 banding are noisy, while a
+    // pair at slot Hamming <=8 always retains slot Jaccard >~0.25, which r=2
+    // x 64 bands catches w.p. >=0.98. Unlike low-entropy simhash slices,
+    // these keys collide only for genuinely similar docs (no random load).
+    def rescueKeys(sigArr: Array[Long], nShingles: Int): Array[Long] =
+      if (sigArr == null || nShingles >= cfg.shortSlotShingles) Array.emptyLongArray
+      else {
+        val buf = new Array[Byte](16)
+        Array.tabulate(cfg.numPerm / 2) { b =>
+          var i = 0
+          while (i < 2) {
+            val v = sigArr(2 * b + i)
+            val o = i << 3
+            buf(o) = v.toByte; buf(o + 1) = (v >>> 8).toByte
+            buf(o + 2) = (v >>> 16).toByte; buf(o + 3) = (v >>> 24).toByte
+            buf(o + 4) = (v >>> 32).toByte; buf(o + 5) = (v >>> 40).toByte
+            buf(o + 6) = (v >>> 48).toByte; buf(o + 7) = (v >>> 56).toByte
+            i += 1
+          }
+          XXH64.hashBytes(buf, 0, 16, cfg.seed + 5000 + b)
+        }
+      }
+    SignatureRow(
+      url = url,
+      content_id = contentId(url, ts),
+      part_id = ((XXH64.hashString(url, cfg.seed) % cfg.storeParts).toInt + cfg.storeParts) % cfg.storeParts,
+      warc_ts = ts,
+      lang = lang,
+      text_len = sig.textLen,
+      size = sig.sizeBytes,
+      text_md5 = md5hex(extracted),
+      simhash_head = if (sig.simhashHead == 0L) None else Some(sig.simhashHead),
+      simhash_tail = if (sig.simhashTail == 0L) None else Some(sig.simhashTail),
+      minhash = if (sig.minhash == null) Array.emptyLongArray else sig.minhash,
+      mh_bands_head = bandKeys(mhHead),
+      mh_bands_tail = bandKeys(mhTail),
+      mh_rescue_head = rescueKeys(mhHead, sig.shinglesHead.length),
+      mh_rescue_tail = rescueKeys(mhTail, sig.shinglesTail.length),
+      shingles_head = sig.shinglesHead,
+      shingles_tail = sig.shinglesTail,
+      extract_ok = extractOk,
+      config_fp = cfg.configFp,
+      reject_reason = reject
+    )
+  }
+
+  /** Case-insensitive url dedup — the reference's O(n^2) scan over
+    * `_everyVideo` (mainwindow.cpp:217-225) as a hash window: keep the
+    * earliest row per lower(url) (discovery order -> warc_ts, url). */
+  def dropCaseDuplicateUrls(pages: DataFrame): DataFrame = {
+    val w = Window.partitionBy(lower(col("url"))).orderBy(col("warc_ts"), col("url"))
+    pages.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The fingerprint stage. One narrow map stage; the only earlier exchange
+    * is the case-dedup window. */
+  def fromPages(pages: DataFrame, cfg: GraftConfig): Dataset[SignatureRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    dropCaseDuplicateUrls(pages)
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .as[(String, Timestamp, Array[Byte], String, String)]
+      .mapPartitions { it =>
+        val mh = new MinHasher(cfg.numPerm, cfg.seed)
+        it.map { case (url, ts, html, text, lang) =>
+          signatureOf(url, ts, html, text, lang, cfg, mh)
+        }
+      }
+  }
+}

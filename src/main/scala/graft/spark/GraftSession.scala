@@ -1,0 +1,35 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standing configuration.
+  *
+  * Scale posture: shuffle partitions sized to cores (not the 200 default),
+  * AQE on with skew-join splitting (the backstop behind our explicit salting,
+  * SURVEY §4.2), and broadcast threshold left to Spark — small dimension
+  * sides (heavy-key lists, config rows) are broadcast explicitly.
+  */
+object GraftSession {
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Tuning applied to an externally-provided session (spark-submit path):
+    * only settable-at-runtime knobs. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+}

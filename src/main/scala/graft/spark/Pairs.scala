@@ -1,0 +1,115 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.{GraftConfig, Similarity, SuffixOverlap}
+
+/** Pair scoring — the comparison kernel (comparison.cpp:128-174) rendered as
+  * pure built-in Catalyst expressions (whole-stage codegen, no UDF on the
+  * Hamming path):
+  *
+  *   slot similarity = 64 - bit_count(xor) + length modifier, clamped at 64,
+  *   with the both-null guard (comparison.cpp:157-158);
+  *   pair similarity = greatest(head slot, tail slot)  [cutEnds best-of-two]
+  *
+  * The `pairs` table persists RAW measures (sim_bits, len_mod, jaccard) with
+  * `matched` derived — so re-thresholding is a cheap filter over pairs, not a
+  * pipeline re-run (the reference's live slider, comparison.cpp:478-491;
+  * SURVEY §3.3).
+  */
+object Pairs {
+
+  /** The length modifier as a Column (comparison.cpp:168-174 transplanted to
+    * text length; GraftConfig.lenTolChars documents the 1000ms analog). */
+  def lenModCol(lenA: Column, lenB: Column, cfg: GraftConfig): Column =
+    when(abs(lenA - lenB) <= cfg.lenTolChars, lit(cfg.sameLenBonus))
+      .otherwise(lit(-cfg.diffLenPenalty))
+
+  /** Per-slot similarity with both-null guard and clamp. One-side-null is NOT
+    * guarded — the null side hashes as 0, exactly the reference's in-band
+    * sentinel arithmetic. */
+  def slotSimCol(hA: Column, hB: Column, lenMod: Column): Column =
+    when(hA.isNull && hB.isNull, lit(0))
+      .otherwise(least(
+        lit(64) - bit_count(coalesce(hA, lit(0L)).bitwiseXOR(coalesce(hB, lit(0L)))) + lenMod,
+        lit(64)))
+
+  /** Score candidate pairs: adds len_mod, sim_bits, matched, via. */
+  def score(cand: DataFrame, cfg: GraftConfig): DataFrame = {
+    val lm = lenModCol(col("text_len_a"), col("text_len_b"), cfg)
+    val head = slotSimCol(col("simhash_head_a"), col("simhash_head_b"), col("len_mod"))
+    val tail = slotSimCol(col("simhash_tail_a"), col("simhash_tail_b"), col("len_mod"))
+    val sim = if (cfg.cutEnds) greatest(head, tail) else head
+    cand
+      .withColumn("len_mod", lm)
+      .withColumn("sim_bits", sim)
+      .withColumn("matched", col("sim_bits") >= cfg.simBitsThreshold)
+      .withColumn("via", lit("simhash"))
+  }
+
+  /** Exact-verify pass (the SSIM mode, comparison.cpp:141-147): for pairs
+    * whose fingerprint similarity clears max(threshold, 44), compute exact
+    * Jaccard per slot over the stored shingle sets and re-derive `matched` as
+    * jaccard + len_mod/64 > jaccardThreshold. Cheap-filter-first ordering is
+    * explicit: the expensive verify only sees gated rows (SURVEY §2.2 F9).
+    *
+    * Slot-wise like the reference: head shingles verify the head gate, tail
+    * the tail; best-of-two. */
+  def exactVerify(scored: DataFrame, signatures: DataFrame, cfg: GraftConfig): DataFrame = {
+    val spark = scored.sparkSession
+    val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      Similarity.jaccard(
+        if (a == null) null else a.toArray,
+        if (b == null) null else b.toArray))
+
+    val gate = cfg.exactVerifyGate
+    val gated = scored.filter(col("sim_bits") >= gate)
+    val rest = scored.filter(col("sim_bits") < gate)
+      .withColumn("jaccard", lit(null).cast("double"))
+      .withColumn("matched", lit(false)) // below gate: never matches in SSIM mode
+
+    val shA = signatures.select(col("url").as("url_a"),
+      col("shingles_head").as("sh_head_a"), col("shingles_tail").as("sh_tail_a"))
+    val shB = signatures.select(col("url").as("url_b"),
+      col("shingles_head").as("sh_head_b"), col("shingles_tail").as("sh_tail_b"))
+
+    val verified = gated
+      .join(shA, "url_a").join(shB, "url_b")
+      .withColumn("jac_head", jaccardUdf(col("sh_head_a"), col("sh_head_b")))
+      .withColumn("jac_tail",
+        if (cfg.cutEnds) jaccardUdf(col("sh_tail_a"), col("sh_tail_b")) else lit(0.0))
+      .withColumn("jaccard", greatest(col("jac_head"), col("jac_tail")))
+      .withColumn("matched",
+        col("jaccard") + col("len_mod") / lit(64.0) > lit(cfg.jaccardThreshold))
+      .withColumn("via", lit("exact"))
+      .drop("sh_head_a", "sh_tail_a", "sh_head_b", "sh_tail_b", "jac_head", "jac_tail")
+
+    verified.unionByName(rest.select(verified.columns.map(col): _*))
+  }
+
+  /** Suffix-array substring pass (SURVEY §2.8 V4): candidate pairs that came
+    * from the sampled-shingle band family and did NOT already match get a
+    * generalized-suffix-array longest-common-substring check against the
+    * source pages; overlap >= cfg.minSubstringOverlap chars marks the pair
+    * matched via='substring'. The expensive O((|a|+|b|) log) kernel runs only
+    * on this narrow, gated subset, inside partitions. */
+  def substringPass(scored: DataFrame, pages: DataFrame, cfg: GraftConfig): DataFrame = {
+    val lcsUdf = udf((a: String, b: String) =>
+      SuffixOverlap.longestCommonSubstring(a, b))
+
+    val candidates = scored.filter(col("from_ss") && !col("matched"))
+    val untouched = scored.filter(!col("from_ss") || col("matched"))
+      .withColumn("overlap_len", lit(null).cast("int"))
+
+    val txtA = pages.select(col("url").as("url_a"), col("text").as("text_a"))
+    val txtB = pages.select(col("url").as("url_b"), col("text").as("text_b"))
+    val checked = candidates
+      .join(txtA, "url_a").join(txtB, "url_b")
+      .withColumn("overlap_len", lcsUdf(col("text_a"), col("text_b")))
+      .withColumn("matched", col("overlap_len") >= cfg.minSubstringOverlap)
+      .withColumn("via", when(col("matched"), lit("substring")).otherwise(col("via")))
+      .drop("text_a", "text_b")
+
+    checked.unionByName(untouched.select(checked.columns.map(col): _*))
+  }
+}

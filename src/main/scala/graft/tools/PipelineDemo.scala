@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.core.GraftConfig
+import graft.data.CorpusSpark
+import graft.spark.{Clusters, GraftSession, Pipeline}
+
+/** CLI surface for the Spark end-to-end pipeline: synthesizes n pages,
+  * runs the full dedup DAG, prints metrics + the flagship query, and grades
+  * recall / cluster equivalence against the sequential oracle.
+  *
+  * Usage: sbt "runMain graft.tools.PipelineDemo [nDocs] [cores]"
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5000L)
+    val cores = args.lift(1).map(_.toInt)
+      .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(8)
+    val cfg = GraftConfig()
+    val spark = GraftSession.local(cores, "graft-pipeline-demo")
+    import spark.implicits._
+
+    val t0 = System.nanoTime()
+    val pages = CorpusSpark.pages(spark, n, parts = cores * 2, seed = cfg.seed)
+    val res = Pipeline.run(pages, cfg)
+    res.metrics.collect().foreach(r => println(s"  ${r.getString(0)} = ${r.getLong(1)}"))
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"end-to-end: $wall%.1fs (${n / wall}%.0f docs/s) at local[$cores]")
+
+    println("top clusters by reclaimable bytes:")
+    Clusters.topClustersByReclaimable(res.clusters, 5).collect().foreach { r =>
+      println(s"  ${r.getAs[String]("cluster_id")} n=${r.getAs[Long]("n_docs")} reclaim=${r.getAs[Long]("reclaimable_bytes")}")
+    }
+
+    if (n <= 20000) {
+      println("grading vs sequential oracle...")
+      val truth = OracleTruth.compute(n, cfg)
+      val got = res.clusters.select("url", "cluster_id").as[(String, String)]
+        .collect().toMap
+      val recallHits = truth.matchedPairs.count { case (a, b) =>
+        got.get(a).exists(ca => got.get(b).contains(ca))
+      }
+      val recall = if (truth.matchedPairs.isEmpty) 1.0
+        else recallHits.toDouble / truth.matchedPairs.size
+      // partition equality: same grouping of urls
+      def partitionOf(m: Map[String, String]): Set[Set[String]] =
+        m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+      val eq = partitionOf(got) == partitionOf(truth.clusters)
+      val sameUniverse = got.keySet == truth.clusters.keySet
+      // diagnostics for missed pairs
+      val mh = new graft.core.MinHasher(cfg.numPerm, cfg.seed)
+      truth.matchedPairs.filterNot { case (a, b) =>
+        got.get(a).exists(ca => got.get(b).contains(ca))
+      }.take(10).foreach { case (a, b) =>
+        def sigOfUrl(u: String) = {
+          val i = u.takeRight(10).toLong
+          graft.core.DocSignatures.of(graft.data.Corpus.textOf(i, cfg.seed), cfg, mh)
+        }
+        val sa = sigOfUrl(a); val sb = sigOfUrl(b)
+        val hamH = 64 - graft.core.Similarity.hammingSim(sa.simhashHead, sb.simhashHead)
+        val hamT = 64 - graft.core.Similarity.hammingSim(sa.simhashTail, sb.simhashTail)
+        val jac = graft.core.Similarity.jaccard(
+          (sa.shinglesHead ++ sa.shinglesTail).distinct.sorted,
+          (sb.shinglesHead ++ sb.shinglesTail).distinct.sorted)
+        println(f"  MISSED $a ~ $b hamH=$hamH hamT=$hamT lenA=${sa.textLen} lenB=${sb.textLen} jac=$jac%.3f " +
+          s"shingles=${sa.shinglesHead.length + sa.shinglesTail.length}/${sb.shinglesHead.length + sb.shinglesTail.length}")
+      }
+      println(f"oracle_pairs=${truth.matchedPairs.size} recall=$recall%.4f " +
+        s"cluster_partition_equal=$eq same_doc_universe=$sameUniverse")
+      if (recall < 0.99) { println("RECALL GATE FAILED"); sys.exit(1) }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,124 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftConfig
+import graft.data.CorpusSpark
+import graft.tools.OracleTruth
+
+object SparkTest {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+}
+
+/** End-to-end gates (SURVEY §5.3): recall >= 0.99 vs the brute-force oracle,
+  * cluster-assignment equivalence, precision 1.0 (pipeline never merges what
+  * the oracle wouldn't), determinism across partitionings. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val cfg = GraftConfig()
+  private val n = 1600L
+
+  private lazy val result = {
+    val pages = CorpusSpark.pages(spark, n, parts = 8, seed = cfg.seed)
+    Pipeline.run(pages, cfg)
+  }
+  private lazy val truth = OracleTruth.compute(n, cfg)
+  private lazy val gotClusters: Map[String, String] = {
+    import spark.implicits._
+    result.clusters.select("url", "cluster_id").as[(String, String)].collect().toMap
+  }
+
+  test("extraction byte-identity holds for every row (north-rule invariant)") {
+    import org.apache.spark.sql.functions._
+    assert(result.signatures.filter(!col("extract_ok")).count() === 0)
+  }
+
+  test("doc universe matches oracle (case-url dedup + validity rejects)") {
+    assert(gotClusters.keySet === truth.clusters.keySet)
+    import spark.implicits._
+    val rejects = result.rejects.select("url").as[String].collect().toSet
+    assert(truth.rejectedUrls.toSet.subsetOf(rejects))
+  }
+
+  test("dup-pair recall >= 0.99 (gate) — and exact at this seed") {
+    val hits = truth.matchedPairs.count { case (a, b) =>
+      gotClusters.get(a).exists(ca => gotClusters.get(b).contains(ca))
+    }
+    val recall = if (truth.matchedPairs.isEmpty) 1.0
+      else hits.toDouble / truth.matchedPairs.size
+    assert(truth.matchedPairs.nonEmpty, "fixture must contain matched pairs")
+    assert(recall >= 0.99, s"recall $recall below gate")
+    assert(recall === 1.0, s"recall $recall — expected exact at the fixed seed")
+  }
+
+  test("precision 1.0: every pipeline-matched pair is an oracle-matched pair") {
+    import spark.implicits._
+    val got = result.pairs.filter(org.apache.spark.sql.functions.col("matched"))
+      .select("url_a", "url_b").as[(String, String)].collect().toSet
+    // pipeline pairs are representative-level; oracle pairs are member-level —
+    // every rep-level pair must appear in the oracle's matched set
+    val missing = got.filterNot(truth.matchedPairs.contains)
+    assert(missing.isEmpty, s"false positives: ${missing.take(5)}")
+  }
+
+  test("cluster-assignment equivalence: identical partition of urls") {
+    def partition(m: Map[String, String]): Set[Set[String]] =
+      m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    assert(partition(gotClusters) === partition(truth.clusters))
+    // canonical ids too: cluster_id = min(url) of the component
+    assert(gotClusters === truth.clusters)
+  }
+
+  test("exactly one keeper per cluster; keeper is rank-1 by the W1 ordering") {
+    import org.apache.spark.sql.functions._
+    val bad = result.clusters.groupBy("cluster_id")
+      .agg(sum(when(col("is_keeper"), 1).otherwise(0)).as("k"))
+      .filter(col("k") =!= 1).count()
+    assert(bad === 0)
+  }
+
+  test("deterministic across input partitionings") {
+    import spark.implicits._
+    val pages2 = CorpusSpark.pages(spark, n, parts = 3, seed = cfg.seed)
+    val res2 = Pipeline.run(pages2, cfg)
+    val got2 = res2.clusters.select("url", "cluster_id").as[(String, String)]
+      .collect().toMap
+    assert(got2 === gotClusters)
+  }
+
+  test("metrics present and consistent") {
+    import spark.implicits._
+    val m = result.metrics.as[(String, Long)].collect().toMap
+    assert(m("signatures") > 0)
+    assert(m("extract_mismatches") === 0)
+    assert(m("matched_pairs") <= m("candidate_pairs"))
+  }
+}
+
+/** The exact-verify (SSIM-mode analog) and substring passes. */
+class VerifyModesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("exact-verify mode: exact dups still match; jaccard column populated") {
+    import org.apache.spark.sql.functions._
+    val cfg = GraftConfig(exactVerify = true)
+    val pages = CorpusSpark.pages(spark, 800L, parts = 4, seed = cfg.seed)
+    val res = Pipeline.run(pages, cfg)
+    val matched = res.pairs.filter(col("matched"))
+    assert(matched.count() > 0)
+    assert(matched.filter(col("via") === "exact").count() === matched.count())
+    // every matched pair passed jaccard + mod/64 > 0.89
+    assert(matched.filter(col("jaccard") + col("len_mod") / 64.0 <= cfg.jaccardThreshold).count() === 0)
+  }
+
+  test("substring pass: verbatim-block pairs matched via='substring'") {
+    import org.apache.spark.sql.functions._
+    val cfg = GraftConfig(substringPass = true)
+    val pages = CorpusSpark.pages(spark, 800L, parts = 4, seed = cfg.seed)
+    val res = Pipeline.run(pages, cfg)
+    val viaSub = res.pairs.filter(col("via") === "substring" && col("matched"))
+    assert(viaSub.count() > 0, "expected verbatim-block fixtures to surface")
+    // substring matches carry the measured overlap
+    assert(viaSub.filter(col("overlap_len") < cfg.minSubstringOverlap).count() === 0)
+  }
+}
