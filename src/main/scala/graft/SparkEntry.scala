@@ -1,13 +1,286 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.GraftConfig
+import graft.data.CorpusSpark
+import graft.ops.{AnnOps, DedupOps, Multimodal, TextOps}
+import graft.spark.{Clusters, Pipeline}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with DuckDB-checkable `oracleSql` wherever the operator is
+  * ANSI-SQL-expressible. Non-SQL operators (simhash/minhash/LSH/suffix-array/
+  * the full webtext pipeline) are registered without oracles (rows-only
+  * check) and are instead gated by the ScalaTest oracle suite
+  * (PipelineSpec: recall/cluster-equivalence vs brute force).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Corpus size for the synthesized webtext queries, by scale dir. */
+  private def corpusN(dir: String): Long =
+    if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 2000L
+
+  private val cfg = GraftConfig()
+
+  /** The two webtext queries share one pipeline run per scale dir. */
+  private val pipelineCache =
+    scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
+  private def pipelineFor(s: SparkSession, d: String): Pipeline.Result =
+    pipelineCache.getOrElseUpdate(d,
+      Pipeline.run(CorpusSpark.pages(s, corpusN(d), 16, cfg.seed), cfg))
+
+  /** Flagship query (driver smoke-checks rows > 0): end-to-end near-dup
+    * pipeline on the deterministic synthetic corpus, reporting the top
+    * duplicate clusters by reclaimable bytes. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = CorpusSpark.pages(spark, 2000L, parts = 8, seed = cfg.seed)
+    val res = Pipeline.run(pages, cfg)
+    Clusters.topClustersByReclaimable(res.clusters, 20)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / filters / projections (S1, S2, F6, F8) ----
+    "q_scan_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45.0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ---- multi-root union (S3) ----
+    "q_union_sources" -> ((s, d) =>
+      t(s, d, "region").select(col("r_name").as("name"))
+        .unionByName(t(s, d, "nation").select(col("n_name").as("name")))
+        .orderBy("name")),
+
+    // ---- case-insensitive distinct (F1) ----
+    "q_ci_distinct" -> ((s, d) =>
+      t(s, d, "customer")
+        .groupBy(lower(col("c_mktsegment")).as("seg"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("seg")),
+
+    // ---- Hamming similarity predicate (X2, F8) ----
+    "q_hamming_filter" -> ((s, d) =>
+      t(s, d, "orders")
+        .withColumn("sim_bits",
+          (lit(64) - bit_count(col("o_orderkey").bitwiseXOR(col("o_custkey")))).cast("long"))
+        .filter(col("sim_bits") >= 58)
+        .select("o_orderkey", "o_custkey", "sim_bits")
+        .orderBy("o_orderkey")),
+
+    // ---- reclaimable aggregation (A1 shape: sum of least()) ----
+    "q_reclaimable_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(least(col("l_partkey"), col("l_suppkey"))).cast("long").as("reclaim"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey")),
+
+    // ---- keeper election window (W1) ----
+    "q_keeper_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") === 1)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    }),
+
+    // ---- existence semi-join (J5) ----
+    "q_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ---- cache-resume anti-join (J4 / S7) ----
+    "q_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // ---- md5 content identity (X6) ----
+    "q_md5_identity" -> ((s, d) =>
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          md5(to_binary(concat(col("c_name"), lit("_"), col("c_custkey").cast("string")),
+            lit("utf-8"))).as("content_id"))
+        .orderBy("c_custkey")),
+
+    // ---- cluster metrics aggregation (A6) ----
+    "q_cluster_metrics" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("o_orderdate")).as("first_seen"),
+          max(col("o_orderdate")).as("last_seen"))
+        .orderBy("o_custkey")),
+
+    // ---- top-k sort (flagship shape, §2.6) ----
+    "q_topk_sort" -> ((s, d) =>
+      t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // ---- dedup family over documents ----
+    "q_exact_dedup" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
+    "q_minhash_lsh" -> ((s, d) =>
+      DedupOps.minhashLsh(t(s, d, "documents"), minJaccard = 0.5, k = 3, cfg)),
+    "q_simhash_dedup" -> ((s, d) =>
+      DedupOps.simhashDedup(t(s, d, "documents"), maxHamming = 8, k = 3, cfg)),
+    "q_ngram_jaccard" -> ((s, d) =>
+      DedupOps.ngramJaccard(t(s, d, "documents"), "source", n = 3, minJaccard = 0.05, cfg)),
+    "q_embedding_dup" -> ((s, d) =>
+      DedupOps.embeddingCosineDup(t(s, d, "embeddings"), threshold = 0.8, Some("label"))),
+
+    // ---- text analysis over documents ----
+    "q_token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "q_quality_signals" -> ((s, d) => TextOps.qualitySignals(t(s, d, "documents"))),
+    "q_quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
+    "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
+    "q_doc_fingerprints" -> ((s, d) => TextOps.fingerprints(t(s, d, "documents"))),
+    "q_lang_agg" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy("lang", "source")),
+
+    // ---- ANN over embeddings ----
+    "q_ann_brute" -> ((s, d) => AnnOps.bruteTopK(t(s, d, "embeddings"), k = 5, nQueries = 10)),
+    "q_ann_lsh" -> ((s, d) => AnnOps.lshTopK(t(s, d, "embeddings"), k = 5, nQueries = 10)),
+
+    // ---- multimodal plumbing (stubbed decode; real batching/schema) ----
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.frameFeatures(Multimodal.syntheticMedia(t(s, d, "documents")))
+        .toDF().select(col("media_id"), col("frame_idx"), col("pos_pct"))
+        .orderBy("media_id", "frame_idx")),
+    "q_media_fingerprints" -> ((s, d) =>
+      Multimodal.mediaFingerprints(Multimodal.syntheticMedia(t(s, d, "documents")))),
+
+    // ---- events (streaming-analog hourly rollup, §2.10) ----
+    "q_events_hourly" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("h", "event_type")),
+
+    // ---- webtext pipeline (non-SQL; gated by the ScalaTest oracle) ----
+    "q_webtext_clusters" -> ((s, d) =>
+      pipelineFor(s, d).clusters
+        .select("url", "cluster_id", "is_keeper").orderBy("url")),
+    "q_webtext_top_reclaimable" -> ((s, d) =>
+      Clusters.topClustersByReclaimable(pipelineFor(s, d).clusters, 20))
+  )
+
+  /** DuckDB equivalents for the SQL-expressible queries. Column names, order,
+    * and types are aligned with the Spark side (aggregates cast to BIGINT;
+    * every query fully ORDER BY'd). */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity > 45.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_union_sources" ->
+      """SELECT name FROM (
+        |  SELECT r_name AS name FROM region
+        |  UNION ALL
+        |  SELECT n_name AS name FROM nation
+        |) ORDER BY name""".stripMargin,
+
+    "q_ci_distinct" ->
+      """SELECT lower(c_mktsegment) AS seg, CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1 ORDER BY seg""".stripMargin,
+
+    "q_hamming_filter" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(64 - bit_count(xor(o_orderkey, o_custkey)) AS BIGINT) AS sim_bits
+        |FROM orders
+        |WHERE 64 - bit_count(xor(o_orderkey, o_custkey)) >= 58
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_reclaimable_agg" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(least(l_partkey, l_suppkey)) AS BIGINT) AS reclaim,
+        |       CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_keeper_window" ->
+      """SELECT o_custkey, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_md5_identity" ->
+      """SELECT c_custkey, md5(concat(c_name, '_', CAST(c_custkey AS VARCHAR))) AS content_id
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_cluster_metrics" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_docs,
+        |       min(o_orderdate) AS first_seen, max(o_orderdate) AS last_seen
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_topk_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_exact_dedup" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS dup_rank,
+        |       (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS is_canonical
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality_signals" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_m,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        |       CAST(len(list_filter(string_split(text, ' '),
+        |            x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stopwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_agg" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "q_ann_brute" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY a.vec_id
+        |           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |                    b.vec_id ASC) AS BIGINT) AS rank
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS h, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin
+  )
 }

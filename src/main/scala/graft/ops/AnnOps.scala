@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.XXH64
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ARRAY<FLOAT>). Two paths:
+  *
+  *  - `bruteTopK`: exact cosine top-k via a blocked cross join — the
+  *    correctness baseline. All math is built-in higher-order functions
+  *    (zip_with/aggregate) so the scoring stays inside codegen.
+  *  - `lshTopK`: random-hyperplane LSH (sign-bit sketch of the embedding,
+  *    the pHash-for-vectors analog) with multi-probe bucketing — the scale
+  *    path: candidates are per-bucket, cost ~ n * bucketSize instead of n^2.
+  *
+  * At cluster scale, brute force shuffles n_q x n rows; the LSH path
+  * partitions by bucket key so each task scores a bounded candidate set.
+  */
+object AnnOps {
+
+  private def withNorm(emb: DataFrame, idCol: String): DataFrame =
+    emb.select(col(idCol), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+
+  private def cosine = (vA: org.apache.spark.sql.Column, vB: org.apache.spark.sql.Column,
+                        nA: org.apache.spark.sql.Column, nB: org.apache.spark.sql.Column) =>
+    aggregate(zip_with(vA, vB, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (nA * nB)
+
+  /** Exact cosine top-k neighbors for the query set (default: vec_id < nQueries). */
+  def bruteTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
+    val base = withNorm(emb, "vec_id")
+    val queries = base.filter(col("vec_id") < nQueries)
+      .toDF("query_id", "v_q", "norm_q")
+    val scored = queries.crossJoin(base)
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(col("v_q"), col("v"), col("norm_q"), col("norm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random-hyperplane sketch: bit i = sign(<v, h_i>) with h_i a seeded
+    * pseudo-random hyperplane (components from SplitMix via XXH64 — no
+    * stored model). Returns nBits-bit bucket keys; `probes` extra keys with
+    * one flipped bit implement multi-probe lookup. */
+  def hyperplaneSketch(emb: DataFrame, nBits: Int = 16, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var key = 0L
+          var b = 0
+          while (b < nBits) {
+            var dot = 0.0
+            var i = 0
+            while (i < v.length) {
+              // deterministic hyperplane component in [-1,1)
+              val h = XXH64.hashLong(i.toLong * 131071L + b, seed)
+              dot += v(i) * (h.toDouble / Long.MaxValue.toDouble)
+              i += 1
+            }
+            if (dot > 0) key |= (1L << b)
+            b += 1
+          }
+          (id, key)
+        }
+      }.toDF("vec_id", "bucket")
+  }
+
+  /** LSH-bucketed approximate top-k: score only candidates sharing a bucket
+    * key (multi-probe: the exact key plus `probes` one-bit-flipped keys). */
+  def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nBits: Int = 12,
+              probes: Int = 4, seed: Long = 42L): DataFrame = {
+    val base = withNorm(emb, "vec_id")
+    val sk = hyperplaneSketch(emb, nBits, seed)
+    val data = base.join(sk, "vec_id")
+
+    val probeKeys = array((lit(-1) +: (0 until probes).map(lit)): _*)
+    val queries = data.filter(col("vec_id") < nQueries)
+      .withColumn("probe", explode(probeKeys))
+      .withColumn("bucket",
+        when(col("probe") < 0, col("bucket"))
+          .otherwise(col("bucket").bitwiseXOR(
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(probe AS INT))"))))
+      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
+        col("norm").as("norm_q"), col("bucket"))
+    val cands = data.select(col("vec_id"), col("v"), col("norm"), col("bucket"))
+
+    val scored = queries.join(cands, "bucket")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", cosine(col("v_q"), col("v"), col("norm_q"), col("norm")))
+      .select("query_id", "vec_id", "cosine").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall of the LSH path against the brute-force baseline (diagnostic). */
+  def lshRecall(emb: DataFrame, k: Int = 5, nQueries: Int = 10): Double = {
+    val exact = bruteTopK(emb, k, nQueries).select("query_id", "neighbor_id")
+    val approx = lshTopK(emb, k, nQueries).select("query_id", "neighbor_id")
+    val hit = exact.intersect(approx).count()
+    hit.toDouble / math.max(exact.count(), 1L)
+  }
+}
