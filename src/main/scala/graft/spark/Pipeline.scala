@@ -46,6 +46,37 @@ object Pipeline {
     val sigs = Fingerprints.fromPages(pages, cfg).toDF().persist(persistLevel)
     val nSigs = sigs.count() // materialize: everything upstream is the fingerprint phase
     val tFingerprint = phaseMs()
+    downstream(sigs, nSigs, tFingerprint, pages, cfg, persistLevel)
+  }
+
+  /** Incremental entry: fingerprints come from / go to the Iceberg-shaped
+    * store (anti-join resume, Resume.scala); clustering always runs over the
+    * full live signature set — new rows can join existing clusters. */
+  def runIncremental(pages: DataFrame, store: graft.store.IcebergShaped.Table,
+                     cfg: GraftConfig = GraftConfig(),
+                     persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (Result, Resume.IncrementalResult) = {
+    val t0 = System.nanoTime()
+    val inc = Resume.incrementalFingerprints(pages, store, cfg)
+    val sigs = inc.signatures.persist(persistLevel)
+    val nSigs = sigs.count()
+    val tFingerprint = (System.nanoTime() - t0) / 1000000L
+    (downstream(sigs, nSigs, tFingerprint, pages, cfg, persistLevel), inc)
+  }
+
+  private def downstream(sigs: DataFrame, nSigs: Long, tFingerprint: Long,
+                         pages: DataFrame, cfg: GraftConfig,
+                         persistLevel: StorageLevel): Result = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+
+    var tMark = System.nanoTime()
+    def phaseMs(): Long = {
+      val now = System.nanoTime()
+      val ms = (now - tMark) / 1000000L
+      tMark = now
+      ms
+    }
 
     val rejects = sigs.filter(col("reject_reason").isNotNull)
       .select(col("url"), col("reject_reason").as("reason"))

@@ -1,0 +1,149 @@
+package graft.store
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** Iceberg-SHAPED table layer over partitioned Parquet.
+  *
+  * No Iceberg/Delta jars ship in this environment (coursier is offline), so
+  * this implements the Iceberg table *shape* — immutable data files, manifest
+  * JSON per snapshot, an atomically-swapped current-version pointer,
+  * snapshot lineage (parent ids), per-partition row counts, and a config
+  * fingerprint for cache invalidation — behind a narrow interface so a real
+  * Iceberg catalog slots in unchanged (`SELECT ... FROM cat.db.t` replaces
+  * `store.read(spark)`, `MERGE INTO`/append replaces `store.append`).
+  *
+  * This is the analog of the reference's SQLite cache.db (db.cpp:14,38-47):
+  * read-before-compute / write-after-compute, keyed by content identity,
+  * stamped with a version for compatibility (db.cpp:46-47; readme.md:80).
+  *
+  * Layout:
+  *   root/data/snap-<id>/part_id=<p>/ ... .parquet   (immutable per snapshot)
+  *   root/metadata/v<N>.json                     (manifest: files + lineage)
+  *   root/metadata/current.json                  (atomic pointer {version})
+  */
+object IcebergShaped {
+
+  final case class FileEntry(path: String, partId: Int, rows: Long)
+  final case class Snapshot(
+      snapshotId: Long,
+      parentId: Option[Long],
+      version: Int,
+      configFp: String,
+      operation: String, // append | overwrite
+      addedRows: Long,
+      totalRows: Long,
+      files: List[FileEntry])
+
+  implicit private val fmts: Formats = DefaultFormats
+
+  final class Table(val root: String) {
+    private def metaDir: Path = Paths.get(root, "metadata")
+    private def currentPath: Path = metaDir.resolve("current.json")
+
+    def currentVersion: Option[Int] =
+      if (!Files.exists(currentPath)) None
+      else Some((JsonMethods.parse(Files.readString(currentPath)) \ "version").extract[Int])
+
+    def snapshotAt(version: Int): Snapshot =
+      Serialization.read[Snapshot](Files.readString(metaDir.resolve(s"v$version.json")))
+
+    def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshotAt)
+
+    /** All live data files = union over the snapshot chain (append log). */
+    def liveFiles: List[FileEntry] = currentSnapshot match {
+      case None => Nil
+      case Some(s) if s.operation == "overwrite" => s.files
+      case Some(s) =>
+        // walk parents until an overwrite (or root)
+        def chain(sn: Snapshot): List[FileEntry] = sn.parentId match {
+          case Some(_) if sn.operation != "overwrite" =>
+            chain(snapshotAt(sn.version - 1)) ++ sn.files
+          case _ => sn.files
+        }
+        chain(s)
+    }
+
+    def isEmpty: Boolean = liveFiles.isEmpty
+
+    /** Read the live table (empty DataFrame with no schema is the caller's
+      * problem — use isEmpty first). */
+    def read(spark: SparkSession): DataFrame = {
+      val paths = liveFiles.map(_.path)
+      require(paths.nonEmpty, s"store at $root is empty")
+      spark.read.parquet(paths: _*)
+    }
+
+    /** Per-partition lineage of the current snapshot chain: rows per part_id
+      * per snapshot file — the north-rule "per-partition lineage" surface. */
+    def lineage(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val cur = currentSnapshot
+      liveFiles.map(f => (cur.map(_.snapshotId).getOrElse(-1L), f.partId, f.path, f.rows))
+        .toDF("snapshot_id", "part_id", "file", "rows")
+    }
+
+    /** Commit `df` (must contain part_id) as a new snapshot. Write-then-swap:
+      * data lands under a snapshot-scoped dir, the manifest is written, and
+      * current.json is atomically moved into place last — a crash before the
+      * swap leaves the old version live (checkpointed resume). */
+    def commit(df: DataFrame, configFp: String, operation: String = "append"): Snapshot = {
+      require(df.columns.contains("part_id"), "store tables are partitioned by part_id")
+      Files.createDirectories(metaDir)
+      val prev = currentSnapshot
+      val version = currentVersion.getOrElse(-1) + 1
+      val snapshotId = math.abs(
+        graft.core.XXH64.hashString(s"$root#$version", 42L)) | 1L
+      val dataDir = Paths.get(root, "data", s"snap-$snapshotId")
+
+      df.write.mode(SaveMode.Overwrite).partitionBy("part_id")
+        .parquet(dataDir.toString)
+
+      // enumerate written files + per-partition rows (from the files themselves)
+      val spark = df.sparkSession
+      val written = spark.read.parquet(dataDir.toString)
+      val counts = written.groupBy("part_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val files: List[FileEntry] = {
+        val dirStream = Files.list(dataDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          dirStream.iterator().asScala
+            .filter(p => p.getFileName.toString.startsWith("part_id="))
+            .map { p =>
+              val partId = p.getFileName.toString.stripPrefix("part_id=").toInt
+              FileEntry(p.toString, partId, counts.getOrElse(partId, 0L))
+            }.toList.sortBy(_.partId)
+        } finally dirStream.close()
+      }
+      val added = files.map(_.rows).sum
+      val total = (if (operation == "overwrite") 0L
+                   else prev.map(_.totalRows).getOrElse(0L)) + added
+      val snap = Snapshot(snapshotId, prev.map(_.snapshotId), version, configFp,
+        operation, added, total, files)
+
+      Files.writeString(metaDir.resolve(s"v$version.json"), Serialization.write(snap))
+      val tmp = metaDir.resolve(s"current.json.tmp$version")
+      Files.writeString(tmp, s"""{"version":$version}""")
+      Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      snap
+    }
+
+    /** Time-travel the pointer back to an earlier version (snapshot files are
+      * immutable, so this is metadata-only — the Iceberg rollback shape). */
+    def rollback(version: Int): Unit = {
+      require(Files.exists(metaDir.resolve(s"v$version.json")), s"no snapshot v$version")
+      val tmp = metaDir.resolve(s"current.json.tmprb")
+      Files.writeString(tmp, s"""{"version":$version}""")
+      Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def table(root: String): Table = new Table(root)
+}

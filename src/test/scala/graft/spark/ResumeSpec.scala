@@ -1,0 +1,101 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftConfig
+import graft.data.CorpusSpark
+import graft.store.IcebergShaped
+
+/** Resume / idempotence gates (SURVEY §5.5): half-then-full == one-shot;
+  * unchanged rerun does zero fingerprint work; config change invalidates. */
+class ResumeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val cfg = GraftConfig()
+
+  private def tmpStore(): IcebergShaped.Table =
+    IcebergShaped.table(Files.createTempDirectory("graft-store").toString)
+
+  test("half-then-full equals one-shot; second half skips first half's work") {
+    val store = tmpStore()
+    val half = CorpusSpark.pages(spark, 400L, 4, cfg.seed)
+    val full = CorpusSpark.pages(spark, 800L, 4, cfg.seed)
+
+    val r1 = Resume.incrementalFingerprints(half, store, cfg)
+    assert(r1.newlyFingerprinted === 400L - caseDups(400L))
+    assert(r1.skipped === 0L)
+
+    val r2 = Resume.incrementalFingerprints(full, store, cfg)
+    assert(r2.skipped === r1.newlyFingerprinted)
+    assert(r2.newlyFingerprinted + r2.skipped === 800L - caseDups(800L))
+
+    // equivalence with one-shot fingerprints
+    val oneShot = Fingerprints.fromPages(full, cfg).toDF()
+    val a = r2.signatures.select("url", "content_id", "simhash_head", "text_md5")
+      .orderBy("url").collect().toSeq
+    val b = oneShot.select("url", "content_id", "simhash_head", "text_md5")
+      .orderBy("url").collect().toSeq
+    assert(a === b)
+  }
+
+  test("unchanged rerun fingerprints nothing (cache hit across the board)") {
+    val store = tmpStore()
+    val pages = CorpusSpark.pages(spark, 300L, 4, cfg.seed)
+    Resume.incrementalFingerprints(pages, store, cfg)
+    val again = Resume.incrementalFingerprints(pages, store, cfg)
+    assert(again.newlyFingerprinted === 0L)
+    assert(again.skipped > 0L)
+  }
+
+  test("config change invalidates: full recompute under the new fingerprint") {
+    val store = tmpStore()
+    val pages = CorpusSpark.pages(spark, 200L, 4, cfg.seed)
+    Resume.incrementalFingerprints(pages, store, cfg)
+    val cfg2 = cfg.copy(k = 5)
+    val r = Resume.incrementalFingerprints(pages, store, cfg2)
+    assert(r.skipped === 0L)
+    assert(r.newlyFingerprinted > 0L)
+    assert(r.signatures.filter(col("config_fp") =!= cfg2.configFp).count() === 0)
+  }
+
+  test("store: snapshot chain, lineage, atomic pointer, rollback") {
+    val store = tmpStore()
+    val pages = CorpusSpark.pages(spark, 200L, 4, cfg.seed)
+    Resume.incrementalFingerprints(pages, store, cfg)
+    val v0 = store.currentVersion.get
+    val snap0 = store.currentSnapshot.get
+    assert(snap0.operation === "overwrite")
+    assert(snap0.totalRows === snap0.addedRows)
+
+    val more = CorpusSpark.pages(spark, 400L, 4, cfg.seed)
+    Resume.incrementalFingerprints(more, store, cfg)
+    val snap1 = store.currentSnapshot.get
+    assert(snap1.parentId.contains(snap0.snapshotId))
+    assert(snap1.totalRows === snap0.totalRows + snap1.addedRows)
+
+    // per-partition lineage rows sum to the total
+    val lineageRows = store.lineage(spark)
+      .agg(sum("rows")).head().getLong(0)
+    assert(lineageRows === snap1.totalRows)
+
+    // rollback is metadata-only time travel
+    store.rollback(v0)
+    assert(store.currentSnapshot.get.snapshotId === snap0.snapshotId)
+    assert(store.read(spark).count() === snap0.totalRows)
+  }
+
+  test("expression content_id matches the Scala contentId") {
+    import spark.implicits._
+    val pages = CorpusSpark.pages(spark, 50L, 2, cfg.seed)
+    val viaExpr = pages.withColumn("cid", Resume.contentIdCol)
+      .select("url", "cid").as[(String, String)].collect().toMap
+    val viaScala = pages.select("url", "warc_ts")
+      .as[(String, java.sql.Timestamp)].collect()
+      .map { case (u, ts) => u -> Fingerprints.contentId(u, ts) }.toMap
+    assert(viaExpr === viaScala)
+  }
+
+  /** Case-variant url duplicates dropped by F1 in [0, n). */
+  private def caseDups(n: Long): Long =
+    (0L until n).count(i => graft.data.Corpus.kindOf(i).isInstanceOf[graft.data.Corpus.CaseUrlDup])
+}
