@@ -124,7 +124,9 @@ object Fingerprints {
     SignatureRow(
       url = url,
       content_id = contentId(url, ts),
-      part_id = ((XXH64.hashString(url, cfg.seed) % cfg.storeParts).toInt + cfg.storeParts) % cfg.storeParts,
+      // seed fixed at 42 to match the builtin xxhash64 used on the
+      // expression path (partitioner only — independent of cfg.seed)
+      part_id = ((XXH64.hashString(url, 42L) % cfg.storeParts).toInt + cfg.storeParts) % cfg.storeParts,
       warc_ts = ts,
       lang = lang,
       text_len = sig.textLen,
@@ -146,16 +148,51 @@ object Fingerprints {
   }
 
   /** Case-insensitive url dedup — the reference's O(n^2) scan over
-    * `_everyVideo` (mainwindow.cpp:217-225) as a hash window: keep the
-    * earliest row per lower(url) (discovery order -> warc_ts, url). */
+    * `_everyVideo` (mainwindow.cpp:217-225): keep the earliest row per
+    * lower(url) (discovery order -> warc_ts, url).
+    *
+    * Shuffle discipline: the ranking window runs over a SLIM projection
+    * (url, warc_ts — ~60 bytes/row), not the full page row (html + text,
+    * ~10 KB/row); only the rare losers flow into an anti-join against the
+    * unshuffled pages (AQE turns it into a broadcast join when the loser
+    * set is small, which it virtually always is). */
   def dropCaseDuplicateUrls(pages: DataFrame): DataFrame = {
     val w = Window.partitionBy(lower(col("url"))).orderBy(col("warc_ts"), col("url"))
-    pages.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val losers = pages.select(col("url"), col("warc_ts"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
+      .select(col("url"))
+    pages.join(losers, Seq("url"), "left_anti")
   }
 
-  /** The fingerprint stage. One narrow map stage; the only earlier exchange
-    * is the case-dedup window. */
-  def fromPages(pages: DataFrame, cfg: GraftConfig): Dataset[SignatureRow] = {
+  /** The fingerprint stage — one narrow select over the native
+    * [[graft.functions.PageFingerprint]] expression (whole-stage codegen, no
+    * Encoder round-trip); identity/partition columns are built-in
+    * expressions. Column set identical to [[SignatureRow]] (pinned by
+    * FingerprintExprSpec against the typed path). */
+  def fromPages(pages: DataFrame, cfg: GraftConfig): DataFrame =
+    dropCaseDuplicateUrls(pages)
+      .select(col("url"), col("warc_ts"), col("lang"),
+        graft.functions.PageFingerprint(col("html"), col("text"), cfg).as("fp"))
+      .select(
+        col("url"),
+        md5(to_binary(concat(col("url"), lit("_"),
+          unix_millis(col("warc_ts")).cast("string")), lit("utf-8"))).as("content_id"),
+        pmod(xxhash64(col("url")), lit(cfg.storeParts)).cast("int").as("part_id"),
+        col("warc_ts"), col("lang"),
+        col("fp.text_len"), col("fp.size"), col("fp.text_md5"),
+        col("fp.simhash_head"), col("fp.simhash_tail"),
+        col("fp.minhash"), col("fp.mh_bands_head"), col("fp.mh_bands_tail"),
+        col("fp.mh_rescue_head"), col("fp.mh_rescue_tail"),
+        col("fp.shingles_head"), col("fp.shingles_tail"),
+        col("fp.extract_ok"),
+        lit(cfg.configFp).as("config_fp"),
+        col("fp.reject_reason"))
+
+  /** The typed-map variant of the fingerprint stage — the parity oracle for
+    * the expression path (and a fallback if an environment rejects the
+    * custom expression). */
+  def fromPagesTyped(pages: DataFrame, cfg: GraftConfig): Dataset[SignatureRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
     dropCaseDuplicateUrls(pages)
