@@ -18,8 +18,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val localDir = {
+      val d = java.nio.file.Paths.get("/dev/shm/graft-spark")
+      try { java.nio.file.Files.createDirectories(d); d.toString }
+      catch { case _: Throwable => System.getProperty("java.io.tmpdir") }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import graft.core.GraftConfig
+import graft.data.CorpusSpark
+import graft.spark.{Actions, Clusters, GraftSession, Pipeline}
+import graft.store.IcebergShaped
+
+/** spark-submit entry point (north rule: "run via spark-submit on a
+  * multi-executor cluster"):
+  *
+  *   spark-submit --class graft.Main graft.jar dedup \
+  *     --pages <parquet path | synth:N> --out <dir> \
+  *     [--store <signatures store root>] [--threshold 89] [--exact-verify] \
+  *     [--substring-pass] [--langs en,de]
+  *
+  * The session comes from spark-submit (master/executors/memory are cluster
+  * submit args); local runs fall back to local[all cores]. Outputs:
+  * <out>/{clusters,pairs,rejects,actions,metrics} as parquet.
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case f if f.startsWith("--") =>
+          if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+            m(f.stripPrefix("--")) = args(i + 1); i += 2
+          } else { m(f.stripPrefix("--")) = "true"; i += 1 }
+        case other => m("command") = other; i += 1
+      }
+    }
+    m.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val command = opts.getOrElse("command", "dedup")
+
+    val builder = SparkSession.builder()
+      .appName("graft-dedup")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    // under spark-submit the master comes from the submit args; standalone
+    // runs fall back to all local cores
+    val spark =
+      (if (sys.props.contains("spark.master")) builder
+       else builder.master("local[*]")).getOrCreate()
+    GraftSession.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+
+    command match {
+      case "dedup" =>
+        val cfg = GraftConfig(
+          threshold = opts.get("threshold").map(_.toInt).getOrElse(89),
+          exactVerify = opts.contains("exact-verify"),
+          substringPass = opts.contains("substring-pass"),
+          langFilter = opts.get("langs").map(_.split(",").toSet))
+        val pagesSpec = opts.getOrElse("pages", "synth:10000")
+        val pages =
+          if (pagesSpec.startsWith("synth:"))
+            CorpusSpark.pages(spark, pagesSpec.stripPrefix("synth:").toLong,
+              spark.sparkContext.defaultParallelism * 2, cfg.seed)
+          else spark.read.parquet(pagesSpec)
+
+        val result = opts.get("store") match {
+          case Some(root) =>
+            Pipeline.runIncremental(pages, IcebergShaped.table(root), cfg)._1
+          case None => Pipeline.run(pages, cfg)
+        }
+
+        val out = opts.getOrElse("out", "/tmp/graft-out")
+        result.clusters.write.mode(SaveMode.Overwrite).parquet(s"$out/clusters")
+        result.pairs.write.mode(SaveMode.Overwrite).parquet(s"$out/pairs")
+        result.rejects.write.mode(SaveMode.Overwrite).parquet(s"$out/rejects")
+        Actions.fromClusters(result.clusters)
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/actions")
+        result.metrics.write.mode(SaveMode.Overwrite).parquet(s"$out/metrics")
+        result.metrics.collect().foreach(r =>
+          println(s"${r.getString(0)} = ${r.getLong(1)}"))
+        println("top clusters by reclaimable bytes:")
+        Clusters.topClustersByReclaimable(result.clusters, 10).show(false)
+
+      case "bench" => Bench.main(Array.empty)
+
+      case other =>
+        System.err.println(s"unknown command '$other' (expected: dedup | bench)")
+        sys.exit(2)
+    }
+    spark.stop()
+  }
+}

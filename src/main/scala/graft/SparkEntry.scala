@@ -172,7 +172,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("h", "event_type")),
 
+    // ---- display formatters (X7-X10) ----
+    "q_display_formats" -> ((s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          graft.ops.Display.msToHHMMSS(col("o_orderkey") % 86400000L).as("hhmmss"),
+          graft.ops.Display.readableFileSize(floor(col("o_totalprice") * 1000).cast("long")).as("size_h"),
+          graft.ops.Display.readableDuration(col("o_custkey") * 1000L).as("dur_h"))
+        .orderBy("o_orderkey")),
+
     // ---- webtext pipeline (non-SQL; gated by the ScalaTest oracle) ----
+    "q_webtext_actions" -> ((s, d) =>
+      graft.spark.Actions.fromClusters(pipelineFor(s, d).clusters)
+        .orderBy("url")),
+    "q_webtext_match_report" -> ((s, d) =>
+      graft.spark.Clusters.matchedReport(
+        pipelineFor(s, d).pairs.filter(col("matched")))),
     "q_webtext_clusters" -> ((s, d) =>
       pipelineFor(s, d).clusters
         .select("url", "cluster_id", "is_keeper").orderBy("url")),
@@ -281,6 +296,26 @@ object SparkEntry {
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    "q_display_formats" ->
+      """SELECT o_orderkey,
+        |  printf('%02d:%02d:%02d.%03d',
+        |    (o_orderkey % 86400000) // 3600000,
+        |    (o_orderkey % 86400000) // 60000 % 60,
+        |    (o_orderkey % 86400000) // 1000 % 60,
+        |    (o_orderkey % 86400000) % 1000) AS hhmmss,
+        |  CASE
+        |    WHEN CAST(floor(o_totalprice * 1000) AS BIGINT) >= 1073741824 THEN printf('%.1f GB', CAST(floor(o_totalprice * 1000) AS BIGINT) / 1073741824.0)
+        |    WHEN CAST(floor(o_totalprice * 1000) AS BIGINT) >= 1048576 THEN printf('%.1f MB', CAST(floor(o_totalprice * 1000) AS BIGINT) / 1048576.0)
+        |    WHEN CAST(floor(o_totalprice * 1000) AS BIGINT) >= 1024 THEN printf('%.1f kB', CAST(floor(o_totalprice * 1000) AS BIGINT) / 1024.0)
+        |    ELSE printf('%d B', CAST(floor(o_totalprice * 1000) AS BIGINT))
+        |  END AS size_h,
+        |  concat(
+        |    CASE WHEN o_custkey * 1000 // 3600000 > 0 THEN printf('%dh', o_custkey * 1000 // 3600000) ELSE '' END,
+        |    CASE WHEN o_custkey * 1000 // 60000 % 60 > 0 THEN printf('%dm', o_custkey * 1000 // 60000 % 60) ELSE '' END,
+        |    CASE WHEN (o_custkey * 1000 // 1000 % 60 > 0) OR (o_custkey * 1000 // 3600000 = 0 AND o_custkey * 1000 // 60000 % 60 = 0)
+        |         THEN printf('%ds', o_custkey * 1000 // 1000 % 60) ELSE '' END) AS dur_h
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

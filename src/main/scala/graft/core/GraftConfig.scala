@@ -63,12 +63,23 @@ final case class GraftConfig(
     diffLenPenalty: Int = 4,
     /** Low-entropy reject: slots with fewer distinct shingles get a NULL fingerprint. */
     minDistinctShingles: Int = 3,
-    /** Slots with fewer distinct shingles than this also emit 8-bit simhash
-      * rescue bands (8 bands x 8 bits => guaranteed candidate at Hamming <=7):
-      * short slots have noisy SimHash bits AND noisy minhash banding, so the
-      * probabilistic families under-recall exactly there. Bounded cost: only
-      * short docs, and heavy keys still route through the salted join. */
+    /** Slots with fewer distinct shingles than this also emit the dense
+      * r=2 x (numPerm/2) minhash rescue bands: short slots have noisy SimHash
+      * bits AND noisy r=4 minhash banding, so the probabilistic families
+      * under-recall exactly there. Minhash-keyed, so the extra bands collide
+      * only for genuinely similar docs (no random join load). */
     shortSlotShingles: Int = 64,
+    /** Cap on stored shingle hashes per slot (X12 analog: the reference
+      * degrades stored JPEG quality above 200k videos, video.cpp:10-11 —
+      * here giant documents store a bottom-k sketch instead of the full
+      * shingle set; SimHash/MinHash are computed on the FULL set first, and
+      * exact-verify Jaccard between two bottom-k sketches remains an
+      * unbiased estimate). */
+    maxStoredShinglesPerSlot: Int = 8192,
+    /** Optional source-level language filter (S2 analog: the reference's
+      * extension filter, extensions.ini + mainwindow.cpp:74-93). Applied as
+      * a pushdown-friendly `lang IN (...)` predicate on the scan. */
+    langFilter: Option[Set[String]] = None,
     /** Seed for all hashing (shingles, MinHash permutations, corpus synthesis). */
     seed: Long = 42L,
     /** Number of partitions for the signatures store (part_id = pmod(xxh64(url), P)). */
@@ -79,6 +90,21 @@ final case class GraftConfig(
     heavyBandKeyCap: Int = 2000,
     /** Salt buckets for the heavy-key triangle join. */
     saltBuckets: Int = 8,
+    /** Heavy-key pair strategy. `true` (default): STAR generation — each row
+      * in a heavy band group pairs with the group's min-url hub only; the
+      * matched stars close transitively into the same clusters with O(n)
+      * pairs instead of O(n^2) (a heavy band key implies a near-identical
+      * mass, where all-pairs emission is redundant for clustering — and each
+      * such pair would otherwise be emitted once PER colliding band family).
+      * `false`: salted triangle join — exact pair-level parity with the
+      * all-pairs oracle at O(n^2/s^2)-balanced cost. Cluster assignments are
+      * identical under both (spec-pinned); the pairs TABLE differs. */
+    heavyKeyStar: Boolean = true,
+    /** Sample fraction for heavy-key detection (a full count of the band
+      * relation is one more full shuffle). <= 0 means exact counting. At the
+      * default cap, a key must show ~cap/100 sampled rows to classify heavy,
+      * so only genuinely massive groups route to the star/salted path. */
+    heavyDetectSampleFrac: Double = 0.02,
     /** Enable the suffix-array substring pass (the SSIM structural-similarity
       * analog, SURVEY §2.8 V4). Off by default, like the reference ships with
       * PHASH mode rather than SSIM (prefs.h:14). */

@@ -36,6 +36,12 @@ object DocSignatures {
     val sh = new Shingler(cfg.k, cfg.seed)
     val th = sh.tokenHashes(toks)
     val n = toks.length
+    // X12 analog: store at most a bottom-k sketch of each slot's shingles
+    // (arrays are sorted, so take() IS the bottom-k); fingerprints below are
+    // computed on the FULL sets before capping.
+    def cap(a: Array[Long]): Array[Long] =
+      if (a.length <= cfg.maxStoredShinglesPerSlot) a
+      else java.util.Arrays.copyOf(a, cfg.maxStoredShinglesPerSlot)
     if (cfg.cutEnds && n >= 2) {
       val mid = n / 2
       val head = sh.hashesOf(th, 0, mid)
@@ -46,8 +52,8 @@ object DocSignatures {
         sizeBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
         simhashHead = SimHash64.of(head, cfg.minDistinctShingles),
         simhashTail = SimHash64.of(tail, cfg.minDistinctShingles),
-        shinglesHead = head,
-        shinglesTail = tail,
+        shinglesHead = cap(head),
+        shinglesTail = cap(tail),
         minhash = minHasher.signature(full)
       )
     } else {
@@ -57,7 +63,7 @@ object DocSignatures {
         sizeBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
         simhashHead = SimHash64.of(full, cfg.minDistinctShingles),
         simhashTail = 0L,
-        shinglesHead = full,
+        shinglesHead = cap(full),
         shinglesTail = Array.emptyLongArray,
         minhash = minHasher.signature(full)
       )

@@ -130,6 +130,7 @@ final class FingerprintKernel(cfg: GraftConfig) extends Serializable {
     row.setBoolean(12, extracted == expected)
     val reject =
       if (extracted.isEmpty) "empty_text"
+      else if (html != null && extracted.length > html.length) "extract_anomaly"
       else if (sig.isRejected) "low_entropy"
       else null
     if (reject == null) row.setNullAt(13) else row.update(13, UTF8String.fromString(reject))

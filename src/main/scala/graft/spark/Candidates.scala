@@ -118,9 +118,22 @@ object Candidates {
     val bnds = bands(reps, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val keyCounts = bnds.groupBy("band_id", "key").count()
-    val heavyKeys = keyCounts.filter(col("count") > cfg.heavyBandKeyCap)
-      .select("band_id", "key")
+    // heavy-key detection, sampled by default: a full groupBy-count of the
+    // band relation costs one more full shuffle; sampling finds every key
+    // whose true count is far above the cap, and borderline keys that slip
+    // through stay load-balanced by AQE skew-join.
+    val heavyKeys = {
+      val frac = cfg.heavyDetectSampleFrac
+      if (frac <= 0)
+        bnds.groupBy("band_id", "key").count()
+          .filter(col("count") > cfg.heavyBandKeyCap)
+          .select("band_id", "key")
+      else
+        bnds.sample(withReplacement = false, frac, cfg.seed)
+          .groupBy("band_id", "key").count()
+          .filter(col("count") > cfg.heavyBandKeyCap * frac / 2)
+          .select("band_id", "key")
+    }
 
     val light = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
     val la = light.withColumnRenamed("url", "url_a")
@@ -129,19 +142,31 @@ object Candidates {
       .filter(col("url_a") < col("url_b"))
       .select(col("url_a"), col("url_b"), col("band_id"))
 
-    val s = cfg.saltBuckets
-    val heavy = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
-      .withColumn("bucket", pmod(xxhash64(col("url")), lit(s)).cast("int"))
-      .withColumn("r", explode(array((0 until s).map(lit): _*)))
-      .withColumn("bi", least(col("bucket"), col("r")))
-      .withColumn("bj", greatest(col("bucket"), col("r")))
-      .drop("r")
-    val ha = heavy.withColumnsRenamed(Map("url" -> "url_a", "bucket" -> "bucket_a"))
-    val hb = heavy.withColumnsRenamed(Map("url" -> "url_b", "bucket" -> "bucket_b"))
-    val heavyPairs = ha.join(hb, Seq("band_id", "key", "bi", "bj"))
-      .filter(col("url_a") < col("url_b"))
-      .filter(col("bi") === col("bj") || col("bucket_a") =!= col("bucket_b"))
-      .select(col("url_a"), col("url_b"), col("band_id"))
+    val heavyRows = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
+    val heavyPairs =
+      if (cfg.heavyKeyStar) {
+        // STAR generation: hub = min(url) of the heavy group; emit (hub, x).
+        // url_a < url_b holds by construction (hub is the minimum).
+        val hubs = heavyRows.groupBy("band_id", "key").agg(min("url").as("url_a"))
+        heavyRows.join(hubs, Seq("band_id", "key"))
+          .filter(col("url") =!= col("url_a"))
+          .select(col("url_a"), col("url").as("url_b"), col("band_id"))
+      } else {
+        // salted triangle self-join (theta-join partitioning over buckets)
+        val s = cfg.saltBuckets
+        val heavy = heavyRows
+          .withColumn("bucket", pmod(xxhash64(col("url")), lit(s)).cast("int"))
+          .withColumn("r", explode(array((0 until s).map(lit): _*)))
+          .withColumn("bi", least(col("bucket"), col("r")))
+          .withColumn("bj", greatest(col("bucket"), col("r")))
+          .drop("r")
+        val ha = heavy.withColumnsRenamed(Map("url" -> "url_a", "bucket" -> "bucket_a"))
+        val hb = heavy.withColumnsRenamed(Map("url" -> "url_b", "bucket" -> "bucket_b"))
+        ha.join(hb, Seq("band_id", "key", "bi", "bj"))
+          .filter(col("url_a") < col("url_b"))
+          .filter(col("bi") === col("bj") || col("bucket_a") =!= col("bucket_b"))
+          .select(col("url_a"), col("url_b"), col("band_id"))
+      }
 
     // J3 pair dedup (a pair can collide in several bands); remember whether
     // any colliding band was the sampled-shingle family (substring gate)

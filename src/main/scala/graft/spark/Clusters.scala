@@ -53,18 +53,45 @@ object Clusters {
 
   /** Connected components of an undirected edge list (columns u, v).
     * Returns (url, cluster_id) for every node that appears in an edge;
-    * callers add singletons. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    * callers add singletons.
+    *
+    * Hybrid execution: star rounds run distributed while the edge set is
+    * large; once it fits comfortably on the driver (`localFinishEdges`,
+    * default 2M edges ~ 300 MB of url strings) the remainder finishes in a
+    * path-compressed local union-find — each distributed round costs a
+    * checkpoint job + a signature job, and on real corpora the exact-dup
+    * pre-grouping leaves a pair graph orders of magnitude smaller than the
+    * corpus, so the tail rounds were pure fixed overhead. At 10^12-doc scale
+    * with billions of edges the distributed rounds keep running until the
+    * graph contracts below the threshold. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+                          localFinishEdges: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    def localFinish(e: DataFrame): DataFrame = {
+      val uf = new graft.core.UnionFind[String]
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
+      e.select(col("u"), col("v")).as[(String, String)].toLocalIterator()
+        .forEachRemaining { case (u, v) => uf.union(u, v); nodes += u; nodes += v }
+      uf.components(nodes).toSeq.toDF("url", "cluster_id")
+        .groupBy("url").agg(min("cluster_id").as("cluster_id"))
+    }
+
     var edges = pairs.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var sig = signature(edges)
+    var (cnt, sig) = signature(edges)
+    if (cnt == 0) return Seq.empty[(String, String)].toDF("url", "cluster_id")
+    if (cnt <= localFinishEdges) return localFinish(edges)
+
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = false
     while (!converged && rounds < maxRounds) {
       edges = smallStar(largeStar(edges)).localCheckpoint()
-      val s2 = signature(edges)
-      converged = s2 == sig
-      sig = s2
+      val (c2, s2) = signature(edges)
+      if (c2 <= localFinishEdges) return localFinish(edges)
+      converged = (c2, s2) == (cnt, sig)
+      cnt = c2; sig = s2
       rounds += 1
     }
     // stars: v is the root (= component min); roots label themselves

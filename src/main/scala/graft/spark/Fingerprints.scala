@@ -70,6 +70,8 @@ object Fingerprints {
     val sig = DocSignatures.of(extracted, cfg, mh)
     val reject: Option[String] =
       if (extracted.isEmpty) Some("empty_text") // F2/F3 validity (video.cpp:19-35)
+      else if (html != null && extracted.length > html.length)
+        Some("extract_anomaly") // F5: output larger than input => corrupt (video.cpp:157-158)
       else if (sig.isRejected) Some("low_entropy") // F4 monochrome (video.cpp:40-42)
       else None
     // slot-wise minhash band keys, precomputed once. Banding is SLOT-WISE

@@ -11,9 +11,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def local(cores: Int, appName: String = "graft"): SparkSession = {
+    // shuffle/spill files on tmpfs: this host has ample RAM and slow block
+    // I/O; disk-backed shuffle writes showed up as 25% kernel time
+    val localDir = {
+      val d = java.nio.file.Paths.get("/dev/shm/graft-spark")
+      try { java.nio.file.Files.createDirectories(d); d.toString }
+      catch { case _: Throwable => System.getProperty("java.io.tmpdir") }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -43,7 +43,13 @@ object Pipeline {
       ms
     }
 
-    val sigs = Fingerprints.fromPages(pages, cfg).toDF().persist(persistLevel)
+    // S2 analog (extension filter): lang predicate on the scan — pushed to
+    // the source by Catalyst (row-group skip on Parquet)
+    val scanned = cfg.langFilter match {
+      case Some(ls) => pages.filter(col("lang").isin(ls.toSeq: _*))
+      case None => pages
+    }
+    val sigs = Fingerprints.fromPages(scanned, cfg).toDF().persist(persistLevel)
     val nSigs = sigs.count() // materialize: everything upstream is the fingerprint phase
     val tFingerprint = phaseMs()
     downstream(sigs, nSigs, tFingerprint, pages, cfg, persistLevel)

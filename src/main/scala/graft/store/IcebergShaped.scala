@@ -134,6 +134,46 @@ object IcebergShaped {
       snap
     }
 
+    /** Snapshot-level delete (SURVEY S9 — the reference's cache invalidation,
+      * db.cpp:99-117): rows matching `condition` are removed by committing an
+      * overwrite snapshot of the filtered live table. The input files stay
+      * immutable; time travel to the pre-delete version still works. */
+    def delete(spark: SparkSession, condition: org.apache.spark.sql.Column): Snapshot = {
+      val remaining = read(spark).filter(!condition)
+      commit(remaining, currentSnapshot.map(_.configFp).getOrElse(""), "overwrite")
+    }
+
+    /** Writer hygiene (SURVEY S15 — the reference's temp-file GC,
+      * mainwindow.cpp:53-64): remove data/snap-* directories not referenced
+      * by ANY manifest (debris from crashed commits). Returns removed paths. */
+    def gcOrphans(): Seq[String] = {
+      val dataRoot = Paths.get(root, "data")
+      if (!Files.exists(dataRoot) || !Files.exists(metaDir)) return Nil
+      import scala.jdk.CollectionConverters._
+      val referenced: Set[String] = {
+        val ms = Files.list(metaDir)
+        try ms.iterator().asScala
+          .filter(_.getFileName.toString.matches("v\\d+\\.json"))
+          .flatMap { m =>
+            Serialization.read[Snapshot](Files.readString(m)).files
+              .map(f => Paths.get(f.path).getParent.toString)
+          }.toSet
+        finally ms.close()
+      }
+      val ds = Files.list(dataRoot)
+      val orphans =
+        try ds.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("snap-"))
+          .filter(p => !referenced.contains(p.toString))
+          .map(_.toString).toList
+        finally ds.close()
+      orphans.foreach { dir =>
+        Files.walk(Paths.get(dir)).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+      orphans
+    }
+
     /** Time-travel the pointer back to an earlier version (snapshot files are
       * immutable, so this is metadata-only — the Iceberg rollback shape). */
     def rollback(version: Int): Unit = {

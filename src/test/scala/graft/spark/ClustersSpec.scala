@@ -1,0 +1,49 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.UnionFind
+
+/** The distributed large-star/small-star rounds, forced (localFinishEdges=0)
+  * so the hybrid shortcut cannot mask them — against the sequential
+  * union-find on adversarial shapes (SURVEY §7.3: path graphs are the
+  * worst case for min-propagation). */
+class ClustersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private def check(edges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    val got = Clusters.connectedComponents(
+        edges.toDF("u", "v"), maxRounds = 50, localFinishEdges = 0L)
+      .as[(String, String)].collect().toMap
+    val uf = new UnionFind[String]
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = uf.components(nodes)
+    assert(got === expected)
+  }
+
+  test("path graph (1000 nodes) collapses to one component, min root") {
+    val nodes = (0 until 1000).map(i => f"n$i%05d")
+    check(nodes.sliding(2).map { case Seq(a, b) => (a, b) }.toSeq)
+  }
+
+  test("many small components stay separate") {
+    val edges = (0 until 300).flatMap { c =>
+      Seq((f"c$c%03d-a", f"c$c%03d-b"), (f"c$c%03d-b", f"c$c%03d-c"))
+    }
+    check(edges)
+  }
+
+  test("random graph matches sequential union-find") {
+    val rng = new graft.data.Corpus.Rng(99L)
+    val edges = (0 until 2000).map { _ =>
+      (f"r${rng.nextInt(700)}%04d", f"r${rng.nextInt(700)}%04d")
+    }.filter(e => e._1 != e._2)
+    check(edges)
+  }
+
+  test("star collision: high-degree hub") {
+    val edges = (1 until 500).map(i => ("hub", f"leaf$i%04d"))
+    check(edges)
+  }
+}

@@ -122,3 +122,28 @@ class VerifyModesSpec extends AnyFunSuite {
     assert(viaSub.filter(col("overlap_len") < cfg.minSubstringOverlap).count() === 0)
   }
 }
+
+/** Heavy-key routing strategies: star generation and the salted triangle
+  * join must produce identical CLUSTER assignments (the pairs table may
+  * differ — star emits a spanning subset). Forced low cap + exact counting
+  * so the heavy path actually fires at test scale. */
+class HeavyKeyStrategySpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("star and salted-triangle cluster partitions are identical") {
+    import spark.implicits._
+    val base = GraftConfig(heavyBandKeyCap = 5, heavyDetectSampleFrac = -1.0)
+    val pages = CorpusSpark.pages(spark, 1200L, 4, base.seed)
+    def clustersOf(cfg: GraftConfig): Map[String, String] =
+      Pipeline.run(pages, cfg).clusters
+        .select("url", "cluster_id").as[(String, String)].collect().toMap
+    val star = clustersOf(base.copy(heavyKeyStar = true))
+    val tri = clustersOf(base.copy(heavyKeyStar = false))
+    assert(star === tri)
+    // and both still match the oracle's partition
+    val truth = OracleTruth.compute(1200L, base)
+    def partition(m: Map[String, String]) =
+      m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    assert(partition(star) === partition(truth.clusters))
+  }
+}
