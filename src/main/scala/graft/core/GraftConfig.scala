@@ -55,6 +55,14 @@ final case class GraftConfig(
       * empirically by the pipeline spec. Shrink to 8 only for small corpora
       * where guaranteed recall 1.0 matters more than join load. */
     simhashBandBits: Int = 16,
+    /** Emit the simhash slice band families at all. The slot-wise minhash
+      * families alone catch a Hamming<=3 pair (slot Jaccard >= ~0.95) with
+      * P(miss) ~ 3e-24, so the slices are belt-and-suspenders; their 16-bit
+      * keys collide RANDOMLY at n/65536 per band and contributed ~40% of all
+      * candidate volume at 200k docs (zero additional matches). Default off:
+      * the minhash-only path is the production web-scale posture; enable for
+      * small corpora where the pigeonhole guarantee is wanted on paper. */
+    simhashSliceBands: Boolean = false,
     /** Length-modifier tolerance in characters (the 1000 ms analog, see scaladoc). */
     lenTolChars: Long = 64L,
     /** Same-length bonus bits (reference: prefs.h:23 `_sameDurationModifier` = 1). */

@@ -62,8 +62,9 @@ object Candidates {
             shiftrightunsigned(c, b * width).bitwiseAND(lit((1L << width) - 1))).as("key"))
       }
 
-    val headBands = slices(col("simhash_head"), w, B, 0, lit(true))
-    val tailBands = slices(col("simhash_tail"), w, B, B, lit(true))
+    val sliceGate = lit(cfg.simhashSliceBands)
+    val headBands = slices(col("simhash_head"), w, B, 0, sliceGate)
+    val tailBands = slices(col("simhash_tail"), w, B, B, sliceGate)
     val mhHead: Seq[Column] = (0 until cfg.minhashBands).map { b =>
       struct(lit(100 + b).as("band_id"), get(col("mh_bands_head"), lit(b)).as("key"))
     }
@@ -145,12 +146,26 @@ object Candidates {
     val heavyRows = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
     val heavyPairs =
       if (cfg.heavyKeyStar) {
-        // STAR generation: hub = min(url) of the heavy group; emit (hub, x).
-        // url_a < url_b holds by construction (hub is the minimum).
-        val hubs = heavyRows.groupBy("band_id", "key").agg(min("url").as("url_a"))
-        heavyRows.join(hubs, Seq("band_id", "key"))
+        // STAR + PATH generation, O(n) per heavy group: every row links to
+        // the group's min-url hub, and to its url-order neighbor. The path
+        // links close clusters that the hub alone can miss (e.g. the hub
+        // fails the length-modifier against one member that still matches
+        // its neighbors); heavy groups are near-identical masses, so
+        // adjacent members almost surely match. Exact pair-table parity
+        // needs heavyKeyStar=false (salted triangle).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("key")).orderBy(col("url"))
+        val withNeighbors = heavyRows
+          .withColumn("url_a", min(col("url")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("key"))))
+          .withColumn("prev", lag(col("url"), 1).over(w))
+        val hubLinks = withNeighbors
           .filter(col("url") =!= col("url_a"))
           .select(col("url_a"), col("url").as("url_b"), col("band_id"))
+        val pathLinks = withNeighbors
+          .filter(col("prev").isNotNull && col("prev") =!= col("url_a"))
+          .select(col("prev").as("url_a"), col("url").as("url_b"), col("band_id"))
+        hubLinks.unionByName(pathLinks)
       } else {
         // salted triangle self-join (theta-join partitioning over buckets)
         val s = cfg.saltBuckets

@@ -130,7 +130,8 @@ class VerifyModesSpec extends AnyFunSuite {
 class HeavyKeyStrategySpec extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
 
-  test("star and salted-triangle cluster partitions are identical") {
+  test("star+path vs salted-triangle: no false merges; recall gate holds " +
+      "even at an adversarially low cap") {
     import spark.implicits._
     val base = GraftConfig(heavyBandKeyCap = 5, heavyDetectSampleFrac = -1.0)
     val pages = CorpusSpark.pages(spark, 1200L, 4, base.seed)
@@ -139,11 +140,23 @@ class HeavyKeyStrategySpec extends AnyFunSuite {
         .select("url", "cluster_id").as[(String, String)].collect().toMap
     val star = clustersOf(base.copy(heavyKeyStar = true))
     val tri = clustersOf(base.copy(heavyKeyStar = false))
-    assert(star === tri)
-    // and both still match the oracle's partition
+    // triangle == exact all-pairs semantics at any cap
     val truth = OracleTruth.compute(1200L, base)
     def partition(m: Map[String, String]) =
       m.groupBy(_._2).values.map(_.keySet.toSet).toSet
-    assert(partition(star) === partition(truth.clusters))
+    assert(partition(tri) === partition(truth.clusters))
+    // star emits a pair subset => its partition is a refinement (never a
+    // false merge): every star cluster sits inside one triangle cluster
+    val triOf = tri
+    partition(star).foreach { c =>
+      assert(c.map(triOf).size === 1, s"star merged across triangle clusters: ${c.take(3)}")
+    }
+    // and the dup-pair recall gate holds even with cap=5 forcing nearly
+    // every band group through the star path
+    val hits = truth.matchedPairs.count { case (a, b) =>
+      star.get(a).exists(ca => star.get(b).contains(ca))
+    }
+    val recall = hits.toDouble / math.max(truth.matchedPairs.size, 1)
+    assert(recall >= 0.99, s"star recall $recall at adversarial cap")
   }
 }
