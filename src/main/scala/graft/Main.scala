@@ -35,6 +35,17 @@ object Main {
     m.toMap
   }
 
+  /** S4 pre-flight root validation (reference: mainwindow.cpp:173-180 shows a
+    * "not found" status message for a bad folder and continues with the
+    * rest). Returns the existing roots; missing ones go to `log`. */
+  private[graft] def validRoots(spec: String, log: String => Unit): Seq[String] = {
+    val roots = spec.split("[;,]").map(_.trim).filter(_.nonEmpty).toSeq
+    val (ok, missing) =
+      roots.partition(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    missing.foreach(p => log(s"root not found, skipping: $p"))
+    ok
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val command = opts.getOrElse("command", "dedup")
@@ -64,7 +75,14 @@ object Main {
           if (pagesSpec.startsWith("synth:"))
             CorpusSpark.pages(spark, pagesSpec.stripPrefix("synth:").toLong,
               spark.sparkContext.defaultParallelism * 2, cfg.seed)
-          else spark.read.parquet(pagesSpec)
+          else {
+            // S3 multi-root union + S4 missing-root diagnostics: ';'- or
+            // ','-separated roots; nonexistent ones are reported and skipped,
+            // the scan proceeds over the rest (mainwindow.cpp:164-180)
+            val roots = validRoots(pagesSpec, m => System.err.println(s"[graft] $m"))
+            require(roots.nonEmpty, s"no readable page roots in '$pagesSpec'")
+            spark.read.parquet(roots: _*)
+          }
 
         val result = opts.get("store") match {
           case Some(root) =>

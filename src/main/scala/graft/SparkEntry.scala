@@ -133,13 +133,14 @@ object SparkEntry {
     // ---- dedup family over documents ----
     "q_exact_dedup" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
     "q_minhash_lsh" -> ((s, d) =>
-      DedupOps.minhashLsh(t(s, d, "documents"), minJaccard = 0.5, k = 3, cfg)),
+      DedupOps.minhashLshExact(t(s, d, "documents"), jacNum = 1, jacDen = 2, k = 3, cfg)),
     "q_simhash_dedup" -> ((s, d) =>
-      DedupOps.simhashDedup(t(s, d, "documents"), maxHamming = 8, k = 3, cfg)),
+      DedupOps.simhashDedup(t(s, d, "documents"), maxHamming = 7, k = 3, cfg)),
     "q_ngram_jaccard" -> ((s, d) =>
-      DedupOps.ngramJaccard(t(s, d, "documents"), "source", n = 3, minJaccard = 0.05, cfg)),
+      DedupOps.ngramOverlapExact(t(s, d, "documents"), "source", n = 3, jacNum = 1, jacDen = 20)),
     "q_embedding_dup" -> ((s, d) =>
-      DedupOps.embeddingCosineDup(t(s, d, "embeddings"), threshold = 0.8, Some("label"))),
+      DedupOps.embeddingCosineDup(t(s, d, "embeddings"), threshold = 0.4, Some("label"))
+        .select("vec_id_a", "vec_id_b")),
 
     // ---- text analysis over documents ----
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
@@ -160,7 +161,9 @@ object SparkEntry {
     // ---- multimodal plumbing (stubbed decode; real batching/schema) ----
     "q_multimodal_frames" -> ((s, d) =>
       Multimodal.frameFeatures(Multimodal.syntheticMedia(t(s, d, "documents")))
-        .toDF().select(col("media_id"), col("frame_idx"), col("pos_pct"))
+        .toDF().select(col("media_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("pos_pct").cast("long").as("pos_pct"))
         .orderBy("media_id", "frame_idx")),
     "q_media_fingerprints" -> ((s, d) =>
       Multimodal.mediaFingerprints(Multimodal.syntheticMedia(t(s, d, "documents")))),
@@ -173,17 +176,28 @@ object SparkEntry {
         .orderBy("h", "event_type")),
 
     // ---- display formatters (X7-X10) ----
+    // bitrate operands are constructed to dodge printf tie-rounding skew
+    // between engines: the Mbps operand is odd (never an exact .x5 at one
+    // decimal), the kbps operand stays on the integer branch
     "q_display_formats" -> ((s, d) =>
       t(s, d, "orders")
         .select(col("o_orderkey"),
           graft.ops.Display.msToHHMMSS(col("o_orderkey") % 86400000L).as("hhmmss"),
           graft.ops.Display.readableFileSize(floor(col("o_totalprice") * 1000).cast("long")).as("size_h"),
-          graft.ops.Display.readableDuration(col("o_custkey") * 1000L).as("dur_h"))
+          graft.ops.Display.readableDuration(col("o_custkey") * 1000L).as("dur_h"),
+          graft.ops.Display.readableBitRate((col("o_custkey") % 9000L) * 2L + 10001L).as("bitrate_h"),
+          graft.ops.Display.readableBitRate(col("o_custkey") % 9999L).as("bitrate_lo"))
         .orderBy("o_orderkey")),
 
-    // ---- webtext pipeline (non-SQL; gated by the ScalaTest oracle) ----
+    // ---- webtext pipeline ----
+    // These ARE SQL-oracled: Verify exports the pipeline's raw measures
+    // (wt_pairs: scored pairs; wt_sigs: valid per-doc rows) and DuckDB
+    // independently re-derives exact groups, transitive closure (recursive
+    // CTE), keeper election, actions, and the report from them.
     "q_webtext_actions" -> ((s, d) =>
       graft.spark.Actions.fromClusters(pipelineFor(s, d).clusters)
+        .select(col("url"), col("cluster_id"), col("action"),
+          col("rank_in_cluster"), col("reclaim_bytes"))
         .orderBy("url")),
     "q_webtext_match_report" -> ((s, d) =>
       graft.spark.Clusters.matchedReport(
@@ -192,12 +206,79 @@ object SparkEntry {
       pipelineFor(s, d).clusters
         .select("url", "cluster_id", "is_keeper").orderBy("url")),
     "q_webtext_top_reclaimable" -> ((s, d) =>
-      Clusters.topClustersByReclaimable(pipelineFor(s, d).clusters, 20))
+      Clusters.topClustersByReclaimable(pipelineFor(s, d).clusters, 20)
+        .select(col("cluster_id"), col("n_docs"),
+          col("total_bytes").cast("long").as("total_bytes"),
+          col("reclaimable_bytes").cast("long").as("reclaimable_bytes"),
+          col("first_seen"))),
+
+    // ---- §3.3 re-threshold (the reference's live slider) ----
+    // matched re-derived from PERSISTED raw measures at v=80 — no
+    // re-fingerprinting, no pipeline re-run (comparison.cpp:478-491)
+    "q_rethreshold" -> ((s, d) =>
+      graft.spark.Pairs.rethreshold(pipelineFor(s, d).pairs, threshold = 80)
+        .filter(col("matched"))
+        .select(col("url_a"), col("url_b"), col("sim_bits").cast("long").as("sim_bits"))
+        .orderBy("url_a", "url_b"))
   )
+
+  /** Aux inputs for the DuckDB oracles that check non-SQL operators: the
+    * pipeline's raw measures and the documents' simhashes, written by Verify
+    * next to the query results. The oracle then RE-DERIVES the relational
+    * half (exact groups, connected components, keeper election, actions,
+    * thresholding, brute-force Hamming) independently in SQL — any recall or
+    * logic drift in the Spark side shows up as a row/hash mismatch. */
+  def auxExport(spark: SparkSession, sfDir: String, auxDir: String): Unit = {
+    val res = pipelineFor(spark, sfDir)
+    res.pairs.select(col("url_a"), col("url_b"),
+      col("sim_bits").cast("long").as("sim_bits"),
+      col("len_mod").cast("long").as("len_mod"),
+      col("matched"), col("via"),
+      col("size_a").cast("long").as("size_a"),
+      col("size_b").cast("long").as("size_b"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs")
+    res.signatures.filter(col("reject_reason").isNull)
+      .select(col("url"), col("text_md5"),
+        col("size").cast("long").as("size"),
+        col("text_len").cast("long").as("text_len"), col("warc_ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_sigs")
+    DedupOps.simhashes(t(spark, sfDir, "documents"), k = 3, cfg)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/doc_simhashes")
+    Multimodal.frameHashes(Multimodal.syntheticMedia(t(spark, sfDir, "documents")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/media_frame_hashes")
+  }
+
+  /** Shared DuckDB prelude for the webtext oracles: re-derives exact groups
+    * (min-url rep per text_md5), transitive closure of matched pairs plus
+    * member->rep edges (recursive CTE), cluster ids (= component min url) and
+    * the keeper ranking — independently of the Spark union-find/window
+    * implementation, from the raw measures Verify exports to {AUX}. */
+  private val wtClusterCte: String =
+    """WITH RECURSIVE
+      |sigs AS (SELECT * FROM read_parquet('{AUX}/wt_sigs/*.parquet')),
+      |mp AS (SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet') WHERE matched),
+      |grp AS (SELECT url, min(url) OVER (PARTITION BY text_md5) AS rep_url FROM sigs),
+      |medges AS (SELECT url AS u, rep_url AS v FROM grp WHERE url <> rep_url),
+      |e0 AS (SELECT url_a AS u, url_b AS v FROM mp UNION SELECT u, v FROM medges),
+      |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |reach(u, v) AS (SELECT u, v FROM edges
+      |                UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |labels AS (SELECT u AS url, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+      |clus AS (
+      |  SELECT s.url, coalesce(l.cluster_id, s.url) AS cluster_id,
+      |         s.size, s.text_len, s.warc_ts
+      |  FROM sigs s LEFT JOIN labels l ON s.url = l.url),
+      |ranked AS (
+      |  SELECT url, cluster_id, size, text_len, warc_ts,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |      ORDER BY size DESC, text_len DESC, warc_ts ASC, url ASC) AS rn
+      |  FROM clus)
+      |""".stripMargin
 
   /** DuckDB equivalents for the SQL-expressible queries. Column names, order,
     * and types are aligned with the Spark side (aggregates cast to BIGINT;
-    * every query fully ORDER BY'd). */
+    * every query fully ORDER BY'd). '{AUX}' is substituted by Verify with the
+    * absolute path of the aux-export dir (auxExport above). */
   def oracleSql: Map[String, String] = Map(
     "q_scan_filter" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
@@ -298,6 +379,135 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS h, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
 
+    "q_doc_fingerprints" ->
+      """SELECT doc_id, content_md5, CAST(i AS BIGINT) AS win_idx,
+        |       md5(substring(text, CAST(i*64+1 AS INT), 64)) AS win_md5
+        |FROM (SELECT doc_id, text, md5(text) AS content_md5,
+        |        unnest(generate_series(0, greatest((length(text)-1)//64, 0))) AS i
+        |      FROM documents)
+        |ORDER BY doc_id, win_idx""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, lang AS lang_declared,
+        |  CASE
+        |    WHEN en >= greatest(de, fr, es) AND en > 0 THEN 'en'
+        |    WHEN de >= greatest(fr, es) AND de > 0 THEN 'de'
+        |    WHEN fr >= es AND fr > 0 THEN 'fr'
+        |    WHEN es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(lower(text),' '), x -> x IN ('the','a','of','and','to','is','in'))) AS en,
+        |    len(list_filter(string_split(lower(text),' '), x -> x IN ('der','die','das','und','ist','nicht'))) AS de,
+        |    len(list_filter(string_split(lower(text),' '), x -> x IN ('le','la','et','les','des','est'))) AS fr,
+        |    len(list_filter(string_split(lower(text),' '), x -> x IN ('el','los','las','es','y','una'))) AS es
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(floor((least(ntok/100.0, 1.0) * 0.4
+        |    + (1.0 - least(punct / greatest(ntok, 1.0), 1.0)) * 0.3
+        |    + least(stop * 20.0 / greatest(ntok, 1.0), 1.0) * 0.3) * 10000.0) AS BIGINT) AS quality_bp
+        |FROM (SELECT doc_id,
+        |        CAST(len(string_split(text,' ')) AS DOUBLE) AS ntok,
+        |        CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) AS punct,
+        |        CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to'))) AS DOUBLE) AS stop
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents)),
+        |pr AS (
+        |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_size
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_id_a, doc_id_b, inter_size, union_size FROM pr
+        |WHERE inter_size * 2 >= union_size * 1
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT source AS block, doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 1)),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM (SELECT source, doc_id, string_split(text,' ') AS t FROM documents)),
+        |pr AS (
+        |  SELECT a.block AS block, a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter_size,
+        |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS union_size
+        |  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id)
+        |SELECT block, doc_id_a, doc_id_b, inter_size, union_size FROM pr
+        |WHERE inter_size * 20 >= union_size * 1
+        |ORDER BY block, doc_id_a, doc_id_b""".stripMargin,
+
+    "q_simhash_dedup" ->
+      """WITH s AS (SELECT * FROM read_parquet('{AUX}/doc_simhashes/*.parquet'))
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q_embedding_dup" ->
+      """SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(f.idx AS BIGINT) AS frame_idx,
+        |       CAST(f.pct AS BIGINT) AS pos_pct
+        |FROM documents, (VALUES (0, 8), (1, 96)) AS f(idx, pct)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_media_fingerprints" ->
+      """SELECT media_id,
+        |  max(CASE WHEN frame_idx = 0 THEN frame_hash END) AS hash_head,
+        |  max(CASE WHEN frame_idx = 1 THEN frame_hash END) AS hash_tail
+        |FROM read_parquet('{AUX}/media_frame_hashes/*.parquet')
+        |GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "q_webtext_clusters" ->
+      (wtClusterCte +
+        """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
+
+    "q_webtext_actions" ->
+      (wtClusterCte +
+        """SELECT url, cluster_id,
+          |  CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action,
+          |  CAST(rn AS BIGINT) AS rank_in_cluster,
+          |  CAST(CASE WHEN rn = 1 THEN 0 ELSE size END AS BIGINT) AS reclaim_bytes
+          |FROM ranked ORDER BY url""".stripMargin),
+
+    "q_webtext_top_reclaimable" ->
+      (wtClusterCte +
+        """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(size) AS BIGINT) AS total_bytes,
+          |  CAST(sum(size) - max(CASE WHEN rn = 1 THEN size ELSE 0 END) AS BIGINT) AS reclaimable_bytes,
+          |  min(warc_ts) AS first_seen
+          |FROM ranked GROUP BY cluster_id HAVING count(*) > 1
+          |ORDER BY reclaimable_bytes DESC, cluster_id ASC LIMIT 20""".stripMargin),
+
+    "q_webtext_match_report" ->
+      """WITH mp AS (SELECT * FROM read_parquet('{AUX}/wt_pairs/*.parquet') WHERE matched),
+        |fm AS (SELECT url_a, arg_min(least(size_a, size_b), url_b) AS first_min_size
+        |       FROM mp GROUP BY url_a)
+        |SELECT CAST(count(*) AS BIGINT) AS docs_with_match,
+        |       CAST(sum(first_min_size) AS BIGINT) AS reclaimable_bytes
+        |FROM fm""".stripMargin,
+
+    "q_rethreshold" ->
+      """SELECT url_a, url_b, CAST(sim_bits AS BIGINT) AS sim_bits
+        |FROM read_parquet('{AUX}/wt_pairs/*.parquet')
+        |WHERE sim_bits >= 51
+        |ORDER BY url_a, url_b""".stripMargin,
+
     "q_display_formats" ->
       """SELECT o_orderkey,
         |  printf('%02d:%02d:%02d.%03d',
@@ -315,7 +525,9 @@ object SparkEntry {
         |    CASE WHEN o_custkey * 1000 // 3600000 > 0 THEN printf('%dh', o_custkey * 1000 // 3600000) ELSE '' END,
         |    CASE WHEN o_custkey * 1000 // 60000 % 60 > 0 THEN printf('%dm', o_custkey * 1000 // 60000 % 60) ELSE '' END,
         |    CASE WHEN (o_custkey * 1000 // 1000 % 60 > 0) OR (o_custkey * 1000 // 3600000 = 0 AND o_custkey * 1000 // 60000 % 60 = 0)
-        |         THEN printf('%ds', o_custkey * 1000 // 1000 % 60) ELSE '' END) AS dur_h
+        |         THEN printf('%ds', o_custkey * 1000 // 1000 % 60) ELSE '' END) AS dur_h,
+        |  printf('%.1f Mbps', ((o_custkey % 9000) * 2 + 10001) / 1000.0) AS bitrate_h,
+        |  printf('%d kbps', o_custkey % 9999) AS bitrate_lo
         |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

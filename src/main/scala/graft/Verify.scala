@@ -22,6 +22,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // aux inputs for the DuckDB oracles of non-SQL operators (the '{AUX}'
+    // placeholder in oracleSql resolves to this absolute dir)
+    val auxDir = Paths.get(outDir).toAbsolutePath.resolve("aux").toString
+    try SparkEntry.auxExport(spark, sfDir, auxDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] aux export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +42,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

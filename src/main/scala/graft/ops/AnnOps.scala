@@ -53,18 +53,28 @@ object AnnOps {
     import spark.implicits._
     emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
+        // The hyperplane component depends only on (bit, dim index, seed):
+        // build the nBits x dim matrix ONCE per partition (lazily, sized from
+        // the first row; regrown if a longer vector appears) instead of
+        // nBits x dim hash calls per ROW. Components are deterministic
+        // pseudo-randoms in [-1,1) from XXH64 — no stored model.
+        var hyper: Array[Array[Double]] = null
         it.map { case (id, v) =>
+          if (hyper == null || hyper(0).length < v.length) {
+            hyper = Array.tabulate(nBits) { b =>
+              Array.tabulate(v.length) { i =>
+                XXH64.hashLong(i.toLong * 131071L + b, seed).toDouble /
+                  Long.MaxValue.toDouble
+              }
+            }
+          }
           var key = 0L
           var b = 0
           while (b < nBits) {
+            val hb = hyper(b)
             var dot = 0.0
             var i = 0
-            while (i < v.length) {
-              // deterministic hyperplane component in [-1,1)
-              val h = XXH64.hashLong(i.toLong * 131071L + b, seed)
-              dot += v(i) * (h.toDouble / Long.MaxValue.toDouble)
-              i += 1
-            }
+            while (i < v.length) { dot += v(i) * hb(i); i += 1 }
             if (dot > 0) key |= (1L << b)
             b += 1
           }

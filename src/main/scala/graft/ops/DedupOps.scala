@@ -84,67 +84,207 @@ object DedupOps {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
-  /** SimHash near-dup: 64-bit fingerprints, pairs within `maxHamming`
-    * (candidates via 16-bit slice bands — guarantee Hamming <= 3). */
-  def simhashDedup(docs: DataFrame, maxHamming: Int = 3, k: Int = 3,
-                   cfg: GraftConfig = GraftConfig()): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Per-doc 64-bit SimHash fingerprints (exported for the harness's DuckDB
+    * oracle: DuckDB recomputes the band join as a brute-force
+    * bit_count(xor) <= maxHamming over these values). */
+  def simhashes(docs: DataFrame, k: Int = 3,
+                cfg: GraftConfig = GraftConfig()): DataFrame =
+    fingerprint(docs, cfg, k).select(col("doc_id"), col("simhash"))
+
+  /** SimHash near-dup: 64-bit fingerprints, pairs within `maxHamming`.
+    * Candidates via `64/sliceBits` bit-slice bands; pigeonhole: S slices
+    * guarantee every pair within Hamming S-1 shares a slice, so recall is
+    * EXACTLY 1.0 whenever maxHamming <= 64/sliceBits - 1 (the default 8-bit
+    * slices cover the default maxHamming 7 — oracle-checkable against
+    * brute force). Wider slices trade guaranteed radius for key entropy at
+    * huge corpora (SURVEY §2.3 J2 discussion). */
+  def simhashDedup(docs: DataFrame, maxHamming: Int = 7, k: Int = 3,
+                   cfg: GraftConfig = GraftConfig(), sliceBits: Int = 8): DataFrame = {
+    require(64 % sliceBits == 0, "slices must tile 64 bits")
+    val nSlices = 64 / sliceBits
+    val mask = (1L << sliceBits) - 1
     val fp = fingerprint(docs, cfg, k).persist()
     val slices = fp.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      posexplode(array((0 until nSlices).map(i =>
+        shiftrightunsigned(col("simhash"), i * sliceBits).bitwiseAND(lit(mask))): _*))
         .as(Seq("band_id", "key")))
     val a = slices.toDF("doc_id_a", "simhash_a", "band_id", "key")
     val b = slices.toDF("doc_id_b", "simhash_b", "band_id", "key")
     a.join(b, Seq("band_id", "key"))
       .filter(col("doc_id_a") < col("doc_id_b"))
       .select(col("doc_id_a"), col("doc_id_b"),
-        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).as("hamming"))
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_id_a", "doc_id_b")
   }
 
-  /** Exact n-gram Jaccard for all pairs within a blocking key (e.g. source) —
+  /** Whitespace-token n-gram DISTINCT set as a Column — built on `split` so a
+    * SQL oracle (string_split + list_transform) reproduces the exact set.
+    * Spans shorter than n collapse to one whole-span shingle, like
+    * core.Shingler. */
+  private def ngramSetCol(text: org.apache.spark.sql.Column, n: Int) = {
+    val toks = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash-LSH near-dup with EXACT verification: dense r=2 minhash banding
+    * proposes candidates (P(miss) = (1-J^2)^(numPerm/2) — ~1e-8 at J=0.5),
+    * then each candidate is verified with exact n-gram-set overlap emitted as
+    * INTEGER (intersection, union) sizes and filtered at
+    * jaccard >= jacNum/jacDen in integer arithmetic — bit-for-bit
+    * reproducible by a SQL oracle, no estimate and no float threshold. */
+  def minhashLshExact(docs: DataFrame, jacNum: Int = 1, jacDen: Int = 2,
+                      k: Int = 3, cfg: GraftConfig = GraftConfig()): DataFrame = {
+    val dense = cfg.copy(minhashBands = cfg.numPerm / 2) // r = 2
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fp = fingerprint(docs, dense, k).persist()
+    val bands = fp.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "key")))
+    val cand = bands.toDF("doc_id_a", "band_id", "key")
+      .join(bands.toDF("doc_id_b", "band_id", "key"), Seq("band_id", "key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("doc_id_a", "doc_id_b").distinct()
+    val sets = docs.select(col("doc_id"), ngramSetCol(col("text"), k).as("ng"))
+    cand
+      .join(sets.toDF("doc_id_a", "ng_a"), "doc_id_a")
+      .join(sets.toDF("doc_id_b", "ng_b"), "doc_id_b")
+      .withColumn("inter_size", size(array_intersect(col("ng_a"), col("ng_b"))).cast("long"))
+      .withColumn("union_size",
+        (size(col("ng_a")) + size(col("ng_b"))).cast("long") - col("inter_size"))
+      .filter(col("inter_size") * jacDen >= col("union_size") * jacNum)
+      .select("doc_id_a", "doc_id_b", "inter_size", "union_size")
+      .orderBy("doc_id_a", "doc_id_b")
+  }
+
+  /** Exact n-gram overlap for pairs within a blocking key, as INTEGER
+    * (intersection, union) sizes at jaccard >= jacNum/jacDen — the
+    * SQL-oracle-friendly face of `ngramJaccard` (same all-pairs-within-block
+    * shape, built-ins only so whole-stage codegen applies end-to-end). */
+  def ngramOverlapExact(docs: DataFrame, blockCol: String, n: Int = 3,
+                        jacNum: Int = 1, jacDen: Int = 20): DataFrame = {
+    val sets = docs.select(col(blockCol).as("block"), col("doc_id"),
+      ngramSetCol(col("text"), n).as("ng"))
+    val a = sets.toDF("block", "doc_id_a", "ng_a")
+    val b = sets.toDF("block", "doc_id_b", "ng_b")
+    a.join(b, "block")
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .withColumn("inter_size", size(array_intersect(col("ng_a"), col("ng_b"))).cast("long"))
+      .withColumn("union_size",
+        (size(col("ng_a")) + size(col("ng_b"))).cast("long") - col("inter_size"))
+      .filter(col("inter_size") * jacDen >= col("union_size") * jacNum)
+      .select("block", "doc_id_a", "doc_id_b", "inter_size", "union_size")
+      .orderBy("block", "doc_id_a", "doc_id_b")
+  }
+
+  /** Exact n-gram Jaccard for pairs within a blocking key (e.g. source) —
     * the small-group exact verifier; sorted-merge kernel, no array_intersect
-    * materialization. */
+    * materialization.
+    *
+    * Scale guard: blocks up to `maxBlockRows` go all-pairs (exact); larger
+    * blocks are pre-filtered with dense r=2 minhash banding INSIDE the block
+    * before the exact kernel, so one giant block can no longer go quadratic
+    * on a single key. The banded path is exact above moderate Jaccard
+    * (P(miss) = (1-J^2)^(numPerm/2): <1e-8 at J>=0.5) but under-recalls at
+    * very low minJaccard — callers scanning for faint overlap in huge blocks
+    * should raise numPerm or shrink blocks. */
   def ngramJaccard(docs: DataFrame, blockCol: String, n: Int = 3,
-                   minJaccard: Double = 0.0, cfg: GraftConfig = GraftConfig()): DataFrame = {
+                   minJaccard: Double = 0.0, cfg: GraftConfig = GraftConfig(),
+                   maxBlockRows: Long = 10000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val withNgrams = docs.select(col(blockCol).as("block"), col("doc_id"), col("text"))
       .as[(String, Long, String)]
       .mapPartitions { it =>
         val sh = new Shingler(n, cfg.seed)
-        it.map { case (block, id, text) => (block, id, sh.hashes(Extract.tokens(text))) }
-      }.toDF("block", "doc_id", "ngrams")
-    val a = withNgrams.toDF("block", "doc_id_a", "ng_a")
-    val b = withNgrams.toDF("block", "doc_id_b", "ng_b")
+        val mh = new MinHasher(cfg.numPerm, cfg.seed)
+        it.map { case (block, id, text) =>
+          val ngrams = sh.hashes(Extract.tokens(text))
+          val sig = mh.signature(ngrams)
+          val bands: Array[Long] =
+            if (sig == null) Array.emptyLongArray
+            else Array.tabulate(cfg.numPerm / 2) { b =>
+              XXH64.hashLong(sig(2 * b + 1), XXH64.hashLong(sig(2 * b), cfg.seed + b))
+            }
+          (block, id, ngrams, bands)
+        }
+      }.toDF("block", "doc_id", "ngrams", "bands")
+      .persist()
+
+    val counts = withNgrams.groupBy("block").count()
+    val small = withNgrams.join(counts.filter(col("count") <= maxBlockRows), "block")
+    val big = withNgrams.join(counts.filter(col("count") > maxBlockRows), "block")
+
     val jac = udf((x: Seq[Long], y: Seq[Long]) =>
       Similarity.jaccard(x.toArray, y.toArray))
-    a.join(b, "block")
+
+    val sa = small.toDF("block", "doc_id_a", "ng_a", "bands_a", "cnt_a")
+    val sb = small.toDF("block", "doc_id_b", "ng_b", "bands_b", "cnt_b")
+    val smallPairs = sa.join(sb, "block")
       .filter(col("doc_id_a") < col("doc_id_b"))
-      .withColumn("jaccard", jac(col("ng_a"), col("ng_b")))
+      .select(col("block"), col("doc_id_a"), col("doc_id_b"),
+        jac(col("ng_a"), col("ng_b")).as("jaccard"))
+
+    val bigBands = big.select(col("block"), col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_id", "key")))
+    val bigCand = bigBands.toDF("block", "doc_id_a", "band_id", "key")
+      .join(bigBands.toDF("block", "doc_id_b", "band_id", "key"),
+        Seq("block", "band_id", "key"))
+      .filter(col("doc_id_a") < col("doc_id_b"))
+      .select("block", "doc_id_a", "doc_id_b").distinct()
+    val ng = big.select(col("block"), col("doc_id"), col("ngrams"))
+    val bigPairs = bigCand
+      .join(ng.toDF("block", "doc_id_a", "ng_a"), Seq("block", "doc_id_a"))
+      .join(ng.toDF("block", "doc_id_b", "ng_b"), Seq("block", "doc_id_b"))
+      .select(col("block"), col("doc_id_a"), col("doc_id_b"),
+        jac(col("ng_a"), col("ng_b")).as("jaccard"))
+
+    smallPairs.unionByName(bigPairs)
       .filter(col("jaccard") >= minJaccard)
-      .select("block", "doc_id_a", "doc_id_b", "jaccard")
       .orderBy("block", "doc_id_a", "doc_id_b")
   }
 
   /** Embedding cosine near-dup over (vec_id, embedding ARRAY<FLOAT>): exact
     * cosine via built-in higher-order functions (codegen; no UDF), pairs
-    * above threshold, blocked by an optional label column to bound the join. */
+    * above threshold, blocked to bound the join.
+    *
+    * Blocking: an explicit label column when given; otherwise LSH sign-sketch
+    * buckets with 1-bit-flip multi-probe (round 1 defaulted to a constant
+    * key — a full cartesian on a single reducer; never ship a lit(0) join
+    * key). Multi-probe makes a near-dup pair share >=1 block unless they
+    * differ in >=2 sketch bits — vanishingly unlikely at cosine >= 0.9. Pair
+    * candidates are deduped BEFORE the cosine math, and embeddings join back
+    * at candidate volume (slim key join, not payload through the band
+    * shuffle). */
   def embeddingCosineDup(emb: DataFrame, threshold: Double = 0.95,
-                         blockCol: Option[String] = None): DataFrame = {
-    val base = emb.select(col("vec_id"),
-      blockCol.map(col).getOrElse(lit(0)).as("block"),
-      col("embedding").cast("array<double>").as("v"))
-    val withNorm = base.withColumn("norm",
-      sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val a = withNorm.toDF("vec_id_a", "block", "v_a", "norm_a")
-    val b = withNorm.toDF("vec_id_b", "block", "v_b", "norm_b")
-    a.join(b, "block")
+                         blockCol: Option[String] = None, nBits: Int = 8,
+                         seed: Long = 42L): DataFrame = {
+    val blocked: DataFrame = blockCol match {
+      case Some(c) =>
+        emb.select(col("vec_id"), col(c).cast("string").as("block"))
+      case None =>
+        val sk = AnnOps.hyperplaneSketch(emb, nBits, seed)
+        sk.withColumn("probe", explode(array((lit(-1) +: (0 until nBits).map(lit)): _*)))
+          .withColumn("block",
+            when(col("probe") < 0, col("bucket"))
+              .otherwise(col("bucket").bitwiseXOR(
+                expr("shiftleft(CAST(1 AS BIGINT), CAST(probe AS INT))")))
+              .cast("string"))
+          .select(col("vec_id"), col("block"))
+    }
+    val ba = blocked.toDF("vec_id_a", "block")
+    val bb = blocked.toDF("vec_id_b", "block")
+    val candIds = ba.join(bb, "block")
       .filter(col("vec_id_a") < col("vec_id_b"))
+      .select("vec_id_a", "vec_id_b").distinct()
+
+    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    val va = base.toDF("vec_id_a", "v_a", "norm_a")
+    val vb = base.toDF("vec_id_b", "v_b", "norm_b")
+    candIds.join(va, "vec_id_a").join(vb, "vec_id_b")
       .withColumn("dot", aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x))
       .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))

@@ -68,10 +68,20 @@ object Multimodal {
   /** Media-level fingerprint from frame features — mirrors the pipeline's
     * head/tail SimHash shape so media dedup reuses the same downstream
     * operators (banding, scoring, clustering). */
+  /** Per-frame fold hash (media_id, frame_idx, frame_hash) — element-wise
+    * xxhash64 chained over the float features: hashing the array's STRING
+    * rendering would silently change fingerprints if Spark's array formatting
+    * ever drifted; element hashing is pinned by the xxhash64 expression
+    * contract (MultimodalSpec pins a literal value). Exported by Verify so
+    * the DuckDB oracle can check the fingerprint pivot. */
+  def frameHashes(media: DataFrame, dim: Int = 16): DataFrame =
+    frameFeatures(media, cutEndsPositions, dim)
+      .toDF().select(col("media_id"), col("frame_idx"),
+        aggregate(col("features"), xxhash64(lit(42L)),
+          (acc, x) => xxhash64(acc, x)).as("frame_hash"))
+
   def mediaFingerprints(media: DataFrame, dim: Int = 16): DataFrame = {
-    val ff = frameFeatures(media, cutEndsPositions, dim)
-    ff.toDF().select(col("media_id"), col("frame_idx"),
-      xxhash64(col("features").cast("array<double>").cast("string")).as("frame_hash"))
+    frameHashes(media, dim)
       .groupBy("media_id")
       .pivot("frame_idx", Seq(0, 1))
       .agg(first(col("frame_hash")))

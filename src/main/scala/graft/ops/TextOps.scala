@@ -40,9 +40,12 @@ object TextOps {
         .cast("long").as("n_stopwords"))
       .orderBy("doc_id")
 
-  /** Quality score in [0,1] from the signals (a lightweight Gopher-rules-style
+  /** Quality score from the signals (a lightweight Gopher-rules-style
     * heuristic): penalize very short docs, high punctuation density, and
-    * stopword-free text. */
+    * stopword-free text. Emitted as basis points (floor(q * 10000), BIGINT)
+    * rather than a rounded double: the DuckDB oracle evaluates the identical
+    * IEEE-754 expression tree, and integer outputs compare bit-for-bit where
+    * engine round() tie-break rules would not. */
   def qualityScore(docs: DataFrame): DataFrame = {
     val nTok = size(split(col("text"), " ")).cast("double")
     val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double")
@@ -52,7 +55,8 @@ object TextOps {
     val punctScore = lit(1.0) - least(punct / greatest(nTok, lit(1.0)), lit(1.0))
     val stopScore = least(stop * 20.0 / greatest(nTok, lit(1.0)), lit(1.0))
     docs.select(col("doc_id"),
-      round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 4).as("quality"))
+      floor((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3) * 10000.0)
+        .cast("long").as("quality_bp"))
       .orderBy("doc_id")
   }
 
@@ -74,18 +78,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Document fingerprint: md5 content hash plus a position-sensitive rolling
-    * xxhash64 over 64-char windows sampled every 64 chars (winnowing-style) —
-    * the content-identity column family (db.cpp:22-30 analog). */
+  /** Document fingerprints: md5 content hash per doc plus position-sensitive
+    * window fingerprints — 64-char windows sampled every 64 chars
+    * (winnowing-style), one ROW per (doc, window) — the content-identity
+    * column family (db.cpp:22-30 analog). Windows hash with md5 so the
+    * DuckDB oracle reproduces every value (round 1 emitted an
+    * ARRAY<xxhash64> column, which no SQL oracle could check and which the
+    * harness's pandas compare could not even hash). */
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
       md5(to_binary(col("text"), lit("utf-8"))).as("content_md5"),
-      xxhash64(col("text")).as("content_xxh"),
-      transform(
+      posexplode(transform(
         sequence(lit(0L),
           greatest(floor((length(col("text")) - 1) / 64).cast("long"), lit(0L))),
-        i => xxhash64(col("text").substr((i * 64 + 1).cast("int"), lit(64)))
-      ).as("window_hashes"))
-      .orderBy("doc_id")
+        i => md5(to_binary(
+          col("text").substr((i * 64 + 1).cast("int"), lit(64)), lit("utf-8"))))))
+      .select(col("doc_id"), col("content_md5"),
+        col("pos").cast("long").as("win_idx"), col("col").as("win_md5"))
+      .orderBy("doc_id", "win_idx")
 }

@@ -53,7 +53,6 @@ object Candidates {
   def bands(reps: DataFrame, cfg: GraftConfig): DataFrame = {
     val B = cfg.simhashBands
     val w = cfg.simhashBandBits
-    val mask = (1L << w) - 1
 
     def slices(c: Column, width: Int, nb: Int, idBase: Int, gate: Column): Seq[Column] =
       (0 until nb).map { b =>

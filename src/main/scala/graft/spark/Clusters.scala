@@ -78,8 +78,10 @@ object Clusters {
         .groupBy("url").agg(min("cluster_id").as("cluster_id"))
     }
 
+    // lazy checkpoints: the signature action right after is the materializer,
+    // so each round costs ONE driver job instead of checkpoint-job + sig-job
     var edges = pairs.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = false)
     var (cnt, sig) = signature(edges)
     if (cnt == 0) return Seq.empty[(String, String)].toDF("url", "cluster_id")
     if (cnt <= localFinishEdges) return localFinish(edges)
@@ -87,7 +89,7 @@ object Clusters {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val (c2, s2) = signature(edges)
       if (c2 <= localFinishEdges) return localFinish(edges)
       converged = (c2, s2) == (cnt, sig)

@@ -47,6 +47,29 @@ object Pairs {
       .withColumn("via", lit("simhash"))
   }
 
+  /** §3.3 re-threshold (the reference's live slider, comparison.cpp:478-491;
+    * mainwindow.cpp:110-121): re-derive `matched` from the PERSISTED raw
+    * measures at a new slider value v — a cheap filter over `pairs`, never a
+    * pipeline re-run (the whole reason `pairs` stores sim_bits/len_mod/
+    * jaccard raw). `sim_bits` already folds the length modifier and the
+    * 64-clamp, so fingerprint mode re-thresholds on sim_bits alone; rows
+    * that carry an exact-verify jaccard re-threshold through the SSIM-branch
+    * formula behind the re-derived gate. In exact mode this is complete for
+    * v >= the run's original threshold (below it, the reference recomputes
+    * SSIM for never-gated pairs; we conservatively keep them unmatched). */
+  def rethreshold(pairs: DataFrame, threshold: Int): DataFrame = {
+    require(threshold >= 1 && threshold <= 100, "threshold is the [1,100] slider value")
+    val simBitsThr = math.round(64.0 * threshold / 100.0).toInt
+    val gate = math.max(simBitsThr, 44) // comparison.cpp:141-142
+    val jacThr = threshold / 100.0
+    val m =
+      if (pairs.columns.contains("jaccard"))
+        col("jaccard").isNotNull && col("sim_bits") >= gate &&
+          col("jaccard") + col("len_mod") / lit(64.0) > jacThr
+      else col("sim_bits") >= simBitsThr
+    pairs.withColumn("matched", m)
+  }
+
   /** Exact-verify pass (the SSIM mode, comparison.cpp:141-147): for pairs
     * whose fingerprint similarity clears max(threshold, 44), compute exact
     * Jaccard per slot over the stored shingle sets and re-derive `matched` as
@@ -101,12 +124,19 @@ object Pairs {
     val untouched = scored.filter(!col("from_ss") || col("matched"))
       .withColumn("overlap_len", lit(null).cast("int"))
 
+    // LEFT joins: a candidate whose text is absent from `pages` (e.g. an
+    // incremental run where `pages` is only the current batch while pairs
+    // span the full live store) is RETAINED as unmatched with a null
+    // overlap_len — an inner join would silently drop the scored pair.
     val txtA = pages.select(col("url").as("url_a"), col("text").as("text_a"))
     val txtB = pages.select(col("url").as("url_b"), col("text").as("text_b"))
     val checked = candidates
-      .join(txtA, "url_a").join(txtB, "url_b")
-      .withColumn("overlap_len", lcsUdf(col("text_a"), col("text_b")))
-      .withColumn("matched", col("overlap_len") >= cfg.minSubstringOverlap)
+      .join(txtA, Seq("url_a"), "left").join(txtB, Seq("url_b"), "left")
+      .withColumn("overlap_len",
+        when(col("text_a").isNotNull && col("text_b").isNotNull,
+          lcsUdf(col("text_a"), col("text_b"))).otherwise(lit(null).cast("int")))
+      .withColumn("matched",
+        coalesce(col("overlap_len") >= cfg.minSubstringOverlap, lit(false)))
       .withColumn("via", when(col("matched"), lit("substring")).otherwise(col("via")))
       .drop("text_a", "text_b")
 

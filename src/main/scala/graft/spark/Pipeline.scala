@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.core.GraftConfig
@@ -19,6 +19,12 @@ import graft.core.GraftConfig
   *
   * Shuffle boundaries: case-dedup window; exact-group agg; band join;
   * pair dedup; union-find rounds; keeper window. Everything else is narrow.
+  *
+  * Driver-job budget (scaling-efficiency relevant — every driver job is a
+  * fixed-latency serialization point that does not shrink with more cores):
+  * by default ALL run metrics are computed in ONE union-aggregate job over
+  * the persisted intermediates; the per-phase wall-time breakdown (which
+  * needs a materializing action per phase) is behind `profile = true`.
   */
 object Pipeline {
 
@@ -31,28 +37,19 @@ object Pipeline {
   )
 
   def run(pages: DataFrame, cfg: GraftConfig = GraftConfig(),
-          persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): Result = {
-    val spark = pages.sparkSession
-    import spark.implicits._
-
-    var tMark = System.nanoTime()
-    def phaseMs(): Long = {
-      val now = System.nanoTime()
-      val ms = (now - tMark) / 1000000L
-      tMark = now
-      ms
+          persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+          profile: Boolean = false): Result = {
+    val scanned = scan(pages, cfg)
+    if (profile) {
+      var t0 = System.nanoTime()
+      val sigs = Fingerprints.fromPages(scanned, cfg).toDF().persist(persistLevel)
+      val nSigs = sigs.count() // materialize: everything upstream is the fingerprint phase
+      val tFingerprint = (System.nanoTime() - t0) / 1000000L
+      downstreamProfiled(sigs, nSigs, tFingerprint, pages, cfg, persistLevel)
+    } else {
+      val sigs = Fingerprints.fromPages(scanned, cfg).toDF().persist(persistLevel)
+      downstream(sigs, pages, cfg, persistLevel)
     }
-
-    // S2 analog (extension filter): lang predicate on the scan — pushed to
-    // the source by Catalyst (row-group skip on Parquet)
-    val scanned = cfg.langFilter match {
-      case Some(ls) => pages.filter(col("lang").isin(ls.toSeq: _*))
-      case None => pages
-    }
-    val sigs = Fingerprints.fromPages(scanned, cfg).toDF().persist(persistLevel)
-    val nSigs = sigs.count() // materialize: everything upstream is the fingerprint phase
-    val tFingerprint = phaseMs()
-    downstream(sigs, nSigs, tFingerprint, pages, cfg, persistLevel)
   }
 
   /** Incremental entry: fingerprints come from / go to the Iceberg-shaped
@@ -62,17 +59,52 @@ object Pipeline {
                      cfg: GraftConfig = GraftConfig(),
                      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : (Result, Resume.IncrementalResult) = {
-    val t0 = System.nanoTime()
-    val inc = Resume.incrementalFingerprints(pages, store, cfg)
+    val inc = Resume.incrementalFingerprints(scan(pages, cfg), store, cfg)
     val sigs = inc.signatures.persist(persistLevel)
-    val nSigs = sigs.count()
-    val tFingerprint = (System.nanoTime() - t0) / 1000000L
-    (downstream(sigs, nSigs, tFingerprint, pages, cfg, persistLevel), inc)
+    (downstream(sigs, pages, cfg, persistLevel), inc)
   }
 
-  private def downstream(sigs: DataFrame, nSigs: Long, tFingerprint: Long,
-                         pages: DataFrame, cfg: GraftConfig,
+  /** S2 analog (extension filter): lang predicate on the scan — pushed to
+    * the source by Catalyst (row-group skip on Parquet). */
+  private def scan(pages: DataFrame, cfg: GraftConfig): DataFrame =
+    cfg.langFilter match {
+      case Some(ls) => pages.filter(col("lang").isin(ls.toSeq: _*))
+      case None => pages
+    }
+
+  /** The shared relational core: exact-group -> candidates -> scoring ->
+    * union-find -> keeper election. Returns all frames LAZY except what the
+    * iterative union-find had to materialize; metrics is a single
+    * union-aggregate whose one job warms every persisted intermediate. */
+  private def downstream(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
                          persistLevel: StorageLevel): Result = {
+    val st = stages(sigs, pages, cfg, persistLevel)
+
+    // one driver job for every run metric (S14): per-frame aggregates are
+    // exploded to (metric, value) rows and unioned, so one collect scans the
+    // persisted intermediates once — no per-phase .head()/count() fan-out
+    val metrics =
+      kvMetrics(sigs.agg(
+        count(lit(1)).as("signatures"),
+        coalesce(sum(when(col("reject_reason").isNotNull, 1L)), lit(0L)).as("rejected"),
+        coalesce(sum(when(!col("extract_ok"), 1L)), lit(0L)).as("extract_mismatches")))
+        .unionByName(kvMetrics(st.reps.agg(count(lit(1)).as("exact_groups"))))
+        .unionByName(kvMetrics(st.pairs.agg(
+          count(lit(1)).as("candidate_pairs"),
+          coalesce(sum(when(col("matched"), 1L)), lit(0L)).as("matched_pairs"))))
+        .unionByName(kvMetrics(st.clusters.groupBy("cluster_id").count().agg(
+          coalesce(sum(when(col("count") > 1, 1L)), lit(0L)).as("dup_clusters"),
+          coalesce(sum(when(col("count") > 1, col("count"))), lit(0L)).as("docs_in_dup_clusters"))))
+
+    Result(sigs, st.rejects, st.pairs, st.clusters, metrics)
+  }
+
+  /** profile = true: the round-1 behavior — a materializing action per phase
+    * so wall-time attributes to fingerprint / exact-group / candidates /
+    * clustering. Costs ~6 extra driver jobs; for tuning runs only. */
+  private def downstreamProfiled(sigs: DataFrame, nSigs: Long, tFingerprint: Long,
+                                 pages: DataFrame, cfg: GraftConfig,
+                                 persistLevel: StorageLevel): Result = {
     val spark = sigs.sparkSession
     import spark.implicits._
 
@@ -84,55 +116,24 @@ object Pipeline {
       ms
     }
 
-    val rejects = sigs.filter(col("reject_reason").isNotNull)
-      .select(col("url"), col("reject_reason").as("reason"))
-    val valid = sigs.filter(col("reject_reason").isNull)
-
-    // exact-duplicate pre-grouping: one representative (min url) per distinct text
-    val groups = valid.groupBy("text_md5").agg(min("url").as("rep_url"))
-    val members = valid.select(col("url"), col("text_md5"))
-      .join(groups, "text_md5")
-      .select(col("url"), col("rep_url"))
-      .persist(persistLevel)
-    val reps = valid.join(
-      groups.select(col("rep_url").as("url")), Seq("url"), "left_semi")
-      .persist(persistLevel)
-    val repCount = reps.count()
+    val st = stages(sigs, pages, cfg, persistLevel)
+    val repCount = st.reps.count()
     val tExactGroup = phaseMs()
 
-    // candidates + scoring (representative level)
-    val cand = Candidates.candidatePairs(reps, cfg)
-    val scoredBase = Pairs.score(cand, cfg)
-    val scoredVerified =
-      if (cfg.exactVerify) Pairs.exactVerify(scoredBase, reps, cfg) else scoredBase
-    val scored =
-      if (cfg.substringPass) Pairs.substringPass(scoredVerified, pages, cfg)
-      else scoredVerified
-    val pairs = scored.persist(persistLevel)
-    val pairAgg = pairs.agg(
+    val pairAgg = st.pairs.agg(
       count(lit(1)),
-      sum(when(col("matched"), 1L).otherwise(0L))).head()
+      coalesce(sum(when(col("matched"), 1L)), lit(0L))).head()
     val tCandidates = phaseMs()
-    val matched = pairs.filter(col("matched"))
 
-    // clusters at rep level, expanded to members, keepers elected
-    val repClusters = Clusters.assign(reps.select("url"), matched)
-    val memberClusters = members
-      .join(repClusters.withColumnRenamed("url", "rep_url"), "rep_url")
-      .select(col("url"), col("cluster_id"))
-    val clustered = memberClusters
-      .join(valid.select(col("url"), col("size"), col("text_len"), col("warc_ts")), "url")
-    val clusters = Clusters.electKeepers(clustered).persist(persistLevel)
-
-    val cluAgg = clusters.groupBy("cluster_id").count()
+    val cluAgg = st.clusters.groupBy("cluster_id").count()
       .agg(
-        sum(when(col("count") > 1, 1L).otherwise(0L)),
-        sum(when(col("count") > 1, col("count")).otherwise(0L))).head()
+        coalesce(sum(when(col("count") > 1, 1L)), lit(0L)),
+        coalesce(sum(when(col("count") > 1, col("count"))), lit(0L))).head()
     val tClustering = phaseMs()
 
     val sigAgg = sigs.agg(
-      sum(when(col("reject_reason").isNotNull, 1L).otherwise(0L)),
-      sum(when(!col("extract_ok"), 1L).otherwise(0L))).head()
+      coalesce(sum(when(col("reject_reason").isNotNull, 1L)), lit(0L)),
+      coalesce(sum(when(!col("extract_ok"), 1L)), lit(0L))).head()
 
     val metrics = Seq(
       ("signatures", nSigs),
@@ -149,6 +150,56 @@ object Pipeline {
       ("phase_clustering_ms", tClustering)
     ).toDF("metric", "value")
 
-    Result(sigs, rejects, pairs, clusters, metrics)
+    Result(sigs, st.rejects, st.pairs, st.clusters, metrics)
+  }
+
+  private final case class Stages(rejects: DataFrame, reps: DataFrame,
+                                  pairs: DataFrame, clusters: DataFrame)
+
+  private def stages(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
+                     persistLevel: StorageLevel): Stages = {
+    val rejects = sigs.filter(col("reject_reason").isNotNull)
+      .select(col("url"), col("reject_reason").as("reason"))
+    val valid = sigs.filter(col("reject_reason").isNull)
+
+    // exact-duplicate pre-grouping: one representative (min url) per distinct text
+    val groups = valid.groupBy("text_md5").agg(min("url").as("rep_url"))
+    val members = valid.select(col("url"), col("text_md5"))
+      .join(groups, "text_md5")
+      .select(col("url"), col("rep_url"))
+      .persist(persistLevel)
+    val reps = valid.join(
+      groups.select(col("rep_url").as("url")), Seq("url"), "left_semi")
+      .persist(persistLevel)
+
+    // candidates + scoring (representative level)
+    val cand = Candidates.candidatePairs(reps, cfg)
+    val scoredBase = Pairs.score(cand, cfg)
+    val scoredVerified =
+      if (cfg.exactVerify) Pairs.exactVerify(scoredBase, reps, cfg) else scoredBase
+    val scored =
+      if (cfg.substringPass) Pairs.substringPass(scoredVerified, pages, cfg)
+      else scoredVerified
+    val pairs = scored.persist(persistLevel)
+    val matched = pairs.filter(col("matched"))
+
+    // clusters at rep level, expanded to members, keepers elected
+    val repClusters = Clusters.assign(reps.select("url"), matched)
+    val memberClusters = members
+      .join(repClusters.withColumnRenamed("url", "rep_url"), "rep_url")
+      .select(col("url"), col("cluster_id"))
+    val clustered = memberClusters
+      .join(valid.select(col("url"), col("size"), col("text_len"), col("warc_ts")), "url")
+    val clusters = Clusters.electKeepers(clustered).persist(persistLevel)
+    Stages(rejects, reps, pairs, clusters)
+  }
+
+  /** Explode a one-row aggregate frame into (metric, value) rows — keeps the
+    * whole metrics surface inside one job when unioned. */
+  private def kvMetrics(agg1row: DataFrame): DataFrame = {
+    val cols: Seq[Column] = agg1row.columns.toSeq.map(c =>
+      struct(lit(c).as("metric"), col(c).cast("long").as("value")))
+    agg1row.select(explode(array(cols: _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
   }
 }

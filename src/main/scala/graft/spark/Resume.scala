@@ -33,7 +33,10 @@ object Resume {
 
   /** Fingerprint pages incrementally against `store`; append only new rows.
     * The anti-join runs on (content_id, config_fp) BEFORE the expensive
-    * fingerprint map, so cached rows cost one hash + one join probe. */
+    * fingerprint map, so cached rows cost one hash + one join probe.
+    * Driver-job budget: one count of the (cheap, pre-fingerprint) input, one
+    * emptiness probe on re-runs, and the commit itself — `skipped` is derived
+    * from the commit's own materialized row count, not a second count job. */
   def incrementalFingerprints(
       pages: DataFrame,
       store: IcebergShaped.Table,
@@ -42,30 +45,41 @@ object Resume {
 
     val withId = Fingerprints.dropCaseDuplicateUrls(pages)
       .withColumn("content_id", contentIdCol)
+    val total = withId.count()
+    val firstRun = store.isEmpty
 
-    val (todo, skipped) =
-      if (store.isEmpty) (withId, 0L)
+    val todo =
+      if (firstRun) withId
       else {
         val existing = store.read(spark)
           .filter(col("config_fp") === cfg.configFp)
           .select(col("content_id"))
-        val fresh = withId.join(existing, Seq("content_id"), "left_anti")
-        val freshCount = fresh.count()
-        (fresh, withId.count() - freshCount)
+        withId.join(existing, Seq("content_id"), "left_anti")
       }
 
     val newSigs = Fingerprints.fromPages(todo.drop("content_id"), cfg).toDF()
     val newCount =
-      if (store.isEmpty && skipped == 0L) { // first run: commit everything
-        store.commit(newSigs, cfg.configFp, "overwrite")
-        store.snapshotAt(store.currentVersion.get).addedRows
-      } else if (!todo.isEmpty) {
-        store.commit(newSigs, cfg.configFp, "append").addedRows
-      } else 0L
+      if (firstRun) store.commit(newSigs, cfg.configFp, "overwrite").addedRows
+      else if (!todo.isEmpty) store.commit(newSigs, cfg.configFp, "append").addedRows
+      else 0L
 
     // stale-config rows remain as history in older snapshots but are not live
-    // for matching: the live view is config-fingerprint-filtered
-    val live = store.read(spark).filter(col("config_fp") === cfg.configFp)
-    IncrementalResult(live, newCount, skipped)
+    // for matching: the live view is config-fingerprint-filtered AND deduped
+    // per url (newest warc_ts wins) — a re-crawled url gets a fresh
+    // content_id and is appended, so without the dedup the old capture would
+    // stay live alongside it and clustering would elect keepers among
+    // phantom duplicates of the same url.
+    val live =
+      if (store.isEmpty) newSigs.limit(0)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("url"))
+          .orderBy(col("warc_ts").desc, col("content_id").desc)
+        store.read(spark)
+          .filter(col("config_fp") === cfg.configFp)
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      }
+    IncrementalResult(live, newCount, skipped = total - newCount)
   }
 }

@@ -71,11 +71,20 @@ object IcebergShaped {
     def isEmpty: Boolean = liveFiles.isEmpty
 
     /** Read the live table (empty DataFrame with no schema is the caller's
-      * problem — use isEmpty first). */
+      * problem — use isEmpty first). Live files are part_id=N leaf dirs;
+      * they are read grouped under their snap-<id> base dir with an explicit
+      * basePath so partition discovery RETAINS the part_id column (without
+      * it Spark treats each leaf as a root and drops the partition column,
+      * which would break commit()'s part_id requirement on read-modify-write
+      * paths like delete()). */
     def read(spark: SparkSession): DataFrame = {
-      val paths = liveFiles.map(_.path)
-      require(paths.nonEmpty, s"store at $root is empty")
-      spark.read.parquet(paths: _*)
+      val files = liveFiles
+      require(files.nonEmpty, s"store at $root is empty")
+      files.groupBy(f => Paths.get(f.path).getParent.toString).toSeq.sortBy(_._1)
+        .map { case (base, fs) =>
+          spark.read.option("basePath", base).parquet(fs.map(_.path): _*)
+        }
+        .reduce(_ unionByName _)
     }
 
     /** Per-partition lineage of the current snapshot chain: rows per part_id
