@@ -26,7 +26,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.local.dir", localDir)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 2x cores: a single straggler task then idles half a core's worth of
+      // time, not a whole wave; AQE coalescing keeps small stages cheap
+      .config("spark.sql.shuffle.partitions", cpus.toInt * 2)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -50,12 +52,24 @@ object Bench {
       else 2000L
     }
     val t0 = System.nanoTime()
-    val res = Pipeline.run(
-      CorpusSpark.pages(spark, e2eN, parts = cpus.toInt * 2, seed = 42L), GraftConfig())
+    // cache + materialize the synthetic input once (counted inside the
+    // timing): the pipeline consumes `pages` twice (case-dedup ranking +
+    // anti-join probe), and unlike a parquet scan the synthesis map cannot
+    // column-prune — uncached it would render every page twice, and AQE's
+    // concurrent query stages would race on the unpopulated cache.
+    // parts = 8x cores: the planted duplicate families make per-index cost
+    // uneven, and small tasks let the scheduler even out stragglers.
+    val pages = CorpusSpark.pages(spark, e2eN, parts = cpus.toInt * 8, seed = 42L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pages.count()
+    val res = Pipeline.run(pages, GraftConfig(),
+      profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1"))
     // Result is fully materialized by Pipeline.run's metric aggregates
-    val matched = res.metrics.collect()
-      .collectFirst { case r if r.getString(0) == "matched_pairs" => r.getLong(1) }
-      .getOrElse(0L)
+    val allMetrics = res.metrics.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val matched = allMetrics.getOrElse("matched_pairs", 0L)
+    allMetrics.toSeq.sortBy(_._1)
+      .foreach { case (k, v) => System.err.println(s"[bench] $k=$v") }
     val e2eSec = (System.nanoTime() - t0) / 1e9
     val docsPerSec = e2eN / e2eSec
 

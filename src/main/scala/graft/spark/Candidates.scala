@@ -117,6 +117,12 @@ object Candidates {
     // rather than re-exploding 6x (LRU eviction reclaims it under pressure)
     val bnds = bands(reps, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache BEFORE its three join consumers: AQE runs their
+    // query stages as concurrent jobs, and concurrent first-touch of an
+    // unpopulated cache races — each job recomputes the full band explode
+    // (and the fingerprint pipeline under it). One narrow count populates
+    // sigs/reps/bnds exactly once; every consumer then reads cached blocks.
+    bnds.count()
 
     // heavy-key detection, sampled by default: a full groupBy-count of the
     // band relation costs one more full shuffle; sampling finds every key

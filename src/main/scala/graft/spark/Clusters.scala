@@ -72,16 +72,22 @@ object Clusters {
     def localFinish(e: DataFrame): DataFrame = {
       val uf = new graft.core.UnionFind[String]
       val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
-      e.select(col("u"), col("v")).as[(String, String)].toLocalIterator()
-        .forEachRemaining { case (u, v) => uf.union(u, v); nodes += u; nodes += v }
+      // one collect job (bounded by localFinishEdges ~ 200 MB of urls), not
+      // toLocalIterator's job-per-partition driver fan-out
+      e.select(col("u"), col("v")).as[(String, String)].collect()
+        .foreach { case (u, v) => uf.union(u, v); nodes += u; nodes += v }
       uf.components(nodes).toSeq.toDF("url", "cluster_id")
         .groupBy("url").agg(min("cluster_id").as("cluster_id"))
     }
 
-    // lazy checkpoints: the signature action right after is the materializer,
-    // so each round costs ONE driver job instead of checkpoint-job + sig-job
+    // EAGER checkpoints are load-bearing: AQE materializes query stages
+    // concurrently (CompletableFuture jobs), and concurrent consumers of a
+    // lazily-checkpointed/uncached RDD RACE — each recomputes the full
+    // upstream lineage (measured 12x duplicate 11-22s computations at 200k
+    // docs with eager=false). One eager job here computes the pipeline once;
+    // every later stage reads the checkpoint blocks.
     var edges = pairs.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(eager = false)
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var (cnt, sig) = signature(edges)
     if (cnt == 0) return Seq.empty[(String, String)].toDF("url", "cluster_id")
     if (cnt <= localFinishEdges) return localFinish(edges)
@@ -89,7 +95,7 @@ object Clusters {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      edges = smallStar(largeStar(edges)).localCheckpoint()
       val (c2, s2) = signature(edges)
       if (c2 <= localFinishEdges) return localFinish(edges)
       converged = (c2, s2) == (cnt, sig)

@@ -70,6 +70,21 @@ object Pairs {
     pairs.withColumn("matched", m)
   }
 
+  /** W2 progress position (reference: comparison.cpp:366-373 computes
+    * "comparisons done so far" with triangular-number arithmetic for the
+    * progress bar): the canonical position of a given pair in the
+    * deterministic (url_a, url_b) enumeration, plus the total — as two
+    * distributed counts, NOT a global one-partition sort window (which would
+    * serialize at scale). Returns (position, total, fraction). */
+  def progressOf(pairs: DataFrame, urlA: String, urlB: String): (Long, Long, Double) = {
+    val row = pairs.agg(
+      coalesce(sum(when(col("url_a") < urlA ||
+        (col("url_a") === urlA && col("url_b") <= urlB), 1L)), lit(0L)),
+      count(lit(1))).head()
+    val (pos, total) = (row.getLong(0), row.getLong(1))
+    (pos, total, if (total == 0) 0.0 else pos.toDouble / total)
+  }
+
   /** Exact-verify pass (the SSIM mode, comparison.cpp:141-147): for pairs
     * whose fingerprint similarity clears max(threshold, 44), compute exact
     * Jaccard per slot over the stored shingle sets and re-derive `matched` as

@@ -78,25 +78,32 @@ object Pipeline {
     * union-aggregate whose one job warms every persisted intermediate. */
   private def downstream(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
                          persistLevel: StorageLevel): Result = {
-    val st = stages(sigs, pages, cfg, persistLevel)
+    val ps = pairStage(sigs, pages, cfg, persistLevel)
+    val clusters = clusterStage(ps, persistLevel)
+    // materialize the clusters cache BEFORE the fused metrics job: its four
+    // aggregate branches run as concurrent AQE query stages, and concurrent
+    // first-touch of an unpopulated cache recomputes the keeper window per
+    // branch (see Candidates for the same race on the band cache)
+    clusters.count()
 
-    // one driver job for every run metric (S14): per-frame aggregates are
-    // exploded to (metric, value) rows and unioned, so one collect scans the
-    // persisted intermediates once — no per-phase .head()/count() fan-out
+    // one driver job for every remaining run metric (S14): per-frame
+    // aggregates are exploded to (metric, value) rows and unioned, so one
+    // collect scans the persisted intermediates once — no per-phase
+    // .head()/count() fan-out
     val metrics =
       kvMetrics(sigs.agg(
         count(lit(1)).as("signatures"),
         coalesce(sum(when(col("reject_reason").isNotNull, 1L)), lit(0L)).as("rejected"),
         coalesce(sum(when(!col("extract_ok"), 1L)), lit(0L)).as("extract_mismatches")))
-        .unionByName(kvMetrics(st.reps.agg(count(lit(1)).as("exact_groups"))))
-        .unionByName(kvMetrics(st.pairs.agg(
+        .unionByName(kvMetrics(ps.reps.agg(count(lit(1)).as("exact_groups"))))
+        .unionByName(kvMetrics(ps.pairs.agg(
           count(lit(1)).as("candidate_pairs"),
           coalesce(sum(when(col("matched"), 1L)), lit(0L)).as("matched_pairs"))))
-        .unionByName(kvMetrics(st.clusters.groupBy("cluster_id").count().agg(
+        .unionByName(kvMetrics(clusters.groupBy("cluster_id").count().agg(
           coalesce(sum(when(col("count") > 1, 1L)), lit(0L)).as("dup_clusters"),
           coalesce(sum(when(col("count") > 1, col("count"))), lit(0L)).as("docs_in_dup_clusters"))))
 
-    Result(sigs, st.rejects, st.pairs, st.clusters, metrics)
+    Result(sigs, ps.rejects, ps.pairs, clusters, metrics)
   }
 
   /** profile = true: the round-1 behavior — a materializing action per phase
@@ -116,16 +123,17 @@ object Pipeline {
       ms
     }
 
-    val st = stages(sigs, pages, cfg, persistLevel)
-    val repCount = st.reps.count()
+    val ps = pairStage(sigs, pages, cfg, persistLevel)
+    val repCount = ps.reps.count()
     val tExactGroup = phaseMs()
 
-    val pairAgg = st.pairs.agg(
+    val pairAgg = ps.pairs.agg(
       count(lit(1)),
       coalesce(sum(when(col("matched"), 1L)), lit(0L))).head()
     val tCandidates = phaseMs()
 
-    val cluAgg = st.clusters.groupBy("cluster_id").count()
+    val clusters = clusterStage(ps, persistLevel)
+    val cluAgg = clusters.groupBy("cluster_id").count()
       .agg(
         coalesce(sum(when(col("count") > 1, 1L)), lit(0L)),
         coalesce(sum(when(col("count") > 1, col("count"))), lit(0L))).head()
@@ -150,14 +158,17 @@ object Pipeline {
       ("phase_clustering_ms", tClustering)
     ).toDF("metric", "value")
 
-    Result(sigs, st.rejects, st.pairs, st.clusters, metrics)
+    Result(sigs, ps.rejects, ps.pairs, clusters, metrics)
   }
 
-  private final case class Stages(rejects: DataFrame, reps: DataFrame,
-                                  pairs: DataFrame, clusters: DataFrame)
+  private final case class PairStage(rejects: DataFrame, valid: DataFrame,
+                                     members: DataFrame, reps: DataFrame,
+                                     pairs: DataFrame)
 
-  private def stages(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
-                     persistLevel: StorageLevel): Stages = {
+  /** Narrow + candidate half: rejects, exact-dup grouping, LSH candidates,
+    * scored pairs. Lazy — nothing here triggers a job. */
+  private def pairStage(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
+                        persistLevel: StorageLevel): PairStage = {
     val rejects = sigs.filter(col("reject_reason").isNotNull)
       .select(col("url"), col("reject_reason").as("reason"))
     val valid = sigs.filter(col("reject_reason").isNull)
@@ -180,18 +191,20 @@ object Pipeline {
     val scored =
       if (cfg.substringPass) Pairs.substringPass(scoredVerified, pages, cfg)
       else scoredVerified
-    val pairs = scored.persist(persistLevel)
-    val matched = pairs.filter(col("matched"))
+    PairStage(rejects, valid, members, reps, scored.persist(persistLevel))
+  }
 
-    // clusters at rep level, expanded to members, keepers elected
-    val repClusters = Clusters.assign(reps.select("url"), matched)
-    val memberClusters = members
+  /** Clustering half: union-find (EAGER — iterative), member expansion,
+    * keeper election. */
+  private def clusterStage(ps: PairStage, persistLevel: StorageLevel): DataFrame = {
+    val matched = ps.pairs.filter(col("matched"))
+    val repClusters = Clusters.assign(ps.reps.select("url"), matched)
+    val memberClusters = ps.members
       .join(repClusters.withColumnRenamed("url", "rep_url"), "rep_url")
       .select(col("url"), col("cluster_id"))
     val clustered = memberClusters
-      .join(valid.select(col("url"), col("size"), col("text_len"), col("warc_ts")), "url")
-    val clusters = Clusters.electKeepers(clustered).persist(persistLevel)
-    Stages(rejects, reps, pairs, clusters)
+      .join(ps.valid.select(col("url"), col("size"), col("text_len"), col("warc_ts")), "url")
+    Clusters.electKeepers(clustered).persist(persistLevel)
   }
 
   /** Explode a one-row aggregate frame into (metric, value) rows — keeps the

@@ -116,6 +116,20 @@ class RethresholdSpec extends AnyFunSuite {
   }
 }
 
+class ProgressSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("W2 progress position: canonical enumeration rank without a global sort") {
+    import spark.implicits._
+    val pairs = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"))
+      .toDF("url_a", "url_b")
+    assert(Pairs.progressOf(pairs, "a", "b") === ((1L, 4L, 0.25)))
+    assert(Pairs.progressOf(pairs, "b", "c") === ((3L, 4L, 0.75)))
+    assert(Pairs.progressOf(pairs, "b", "d") === ((4L, 4L, 1.0)))
+    assert(Pairs.progressOf(pairs.limit(0), "a", "b") === ((0L, 0L, 0.0)))
+  }
+}
+
 class SubstringRetentionSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
 
