@@ -84,28 +84,32 @@ object AnnOps {
   }
 
   /** LSH-bucketed approximate top-k: score only candidates sharing a bucket
-    * key (multi-probe: the exact key plus `probes` one-bit-flipped keys). */
+    * key (multi-probe: the exact key plus `probes` one-bit-flipped keys).
+    * The bucket join is SLIM (ids + keys only) and candidate pairs dedup
+    * BEFORE scoring; vectors join back at candidate volume — no payload
+    * through the bucket shuffle, no distinct over double columns. */
   def lshTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nBits: Int = 12,
               probes: Int = 4, seed: Long = 42L): DataFrame = {
-    val base = withNorm(emb, "vec_id")
     val sk = hyperplaneSketch(emb, nBits, seed)
-    val data = base.join(sk, "vec_id")
 
     val probeKeys = array((lit(-1) +: (0 until probes).map(lit)): _*)
-    val queries = data.filter(col("vec_id") < nQueries)
+    val qBuckets = sk.filter(col("vec_id") < nQueries)
       .withColumn("probe", explode(probeKeys))
       .withColumn("bucket",
         when(col("probe") < 0, col("bucket"))
           .otherwise(col("bucket").bitwiseXOR(
             expr("shiftleft(CAST(1 AS BIGINT), CAST(probe AS INT))"))))
-      .select(col("vec_id").as("query_id"), col("v").as("v_q"),
-        col("norm").as("norm_q"), col("bucket"))
-    val cands = data.select(col("vec_id"), col("v"), col("norm"), col("bucket"))
-
-    val scored = queries.join(cands, "bucket")
+      .select(col("vec_id").as("query_id"), col("bucket"))
+    val candIds = qBuckets.join(sk.select(col("vec_id"), col("bucket")), "bucket")
       .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+
+    val base = withNorm(emb, "vec_id")
+    val scored = candIds
+      .join(base.toDF("query_id", "v_q", "norm_q"), "query_id")
+      .join(base.toDF("vec_id", "v", "norm"), "vec_id")
       .withColumn("cosine", cosine(col("v_q"), col("v"), col("norm_q"), col("norm")))
-      .select("query_id", "vec_id", "cosine").distinct()
+      .select("query_id", "vec_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
