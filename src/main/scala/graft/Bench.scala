@@ -8,11 +8,19 @@ import graft.spark.Pipeline
 /** Benchmark main (driver contract): times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR and measures end-to-end dedup throughput (docs/sec) on
   * the synthetic corpus — the BASELINE.json headline metric. Prints exactly
-  * one JSON line.
+  * one JSON line (build.sbt routes forked stdout through raw so the line is
+  * machine-parseable even under `sbt runMain`).
+  *
+  * Measurement hygiene (BENCH/BASELINE.md): this VM's host noise swings
+  * identical runs 2.6-3.6x, so the e2e measure is BEST-of-k (interference
+  * only ever adds time); all raw samples are reported alongside. Query
+  * failures are NEVER swallowed: a broken query records an "err" string in
+  * `query_errors`, not a fast timing.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_E2E_N
-  * (override corpus size), SPARK_GRAFT_SKIP_QUERIES=1 (scaling runs time the
-  * e2e pipeline only).
+  * (override corpus size), SPARK_GRAFT_E2E_K (e2e repetitions, default 3),
+  * SPARK_GRAFT_SKIP_QUERIES=1 (scaling runs time the e2e pipeline only —
+  * process-level interleaved legs, so they set K=1 themselves).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -34,16 +42,22 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
-    val results: Map[String, Double] =
-      if (skipQueries) Map.empty
-      else SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+    val timings = scala.collection.mutable.Map.empty[String, Double]
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    if (!skipQueries) SparkEntry.queries.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        timings(name) = (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
       }
+    }
 
     // headline: end-to-end dedup throughput on the deterministic corpus
     val e2eN: Long = sys.env.get("SPARK_GRAFT_E2E_N").map(_.toLong).getOrElse {
@@ -51,35 +65,65 @@ object Bench {
       else if (sfDir.contains("0.01")) 10000L
       else 2000L
     }
-    val t0 = System.nanoTime()
-    // cache + materialize the synthetic input once (counted inside the
-    // timing): the pipeline consumes `pages` twice (case-dedup ranking +
-    // anti-join probe), and unlike a parquet scan the synthesis map cannot
-    // column-prune — uncached it would render every page twice, and AQE's
-    // concurrent query stages would race on the unpopulated cache.
-    // parts = 8x cores: the planted duplicate families make per-index cost
-    // uneven, and small tasks let the scheduler even out stragglers.
-    val pages = CorpusSpark.pages(spark, e2eN, parts = cpus.toInt * 8, seed = 42L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pages.count()
-    val res = Pipeline.run(pages, GraftConfig(),
-      profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1"))
-    // Result is fully materialized by Pipeline.run's metric aggregates
-    val allMetrics = res.metrics.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val matched = allMetrics.getOrElse("matched_pairs", 0L)
-    allMetrics.toSeq.sortBy(_._1)
-      .foreach { case (k, v) => System.err.println(s"[bench] $k=$v") }
-    val e2eSec = (System.nanoTime() - t0) / 1e9
+    val e2eK: Int = sys.env.get("SPARK_GRAFT_E2E_K").map(_.toInt).getOrElse(3)
+    // best-of-k under non-stationary host noise; cap total e2e wall so a
+    // storm-slowed rep cannot blow the harness budget
+    val budgetSec = sys.env.get("SPARK_GRAFT_E2E_BUDGET_SEC").map(_.toDouble).getOrElse(900.0)
+    var samples = List.empty[Double]
+    var matched = -1L
+    var matchedStable = true
+    var rep = 0
+    while (rep < e2eK && (rep == 0 || samples.sum < budgetSec)) {
+      // identical work every rep: drop all cached blocks (the pipeline's
+      // internal persists and the pages cache), then re-run from synthesis
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      // cache + materialize the synthetic input once (counted inside the
+      // timing): the pipeline consumes `pages` twice (case-dedup ranking +
+      // anti-join probe), and unlike a parquet scan the synthesis map cannot
+      // column-prune — uncached it would render every page twice, and AQE's
+      // concurrent query stages would race on the unpopulated cache.
+      // parts = 8x cores: the planted duplicate families make per-index cost
+      // uneven, and small tasks let the scheduler even out stragglers.
+      val pages = CorpusSpark.pages(spark, e2eN, parts = cpus.toInt * 8, seed = 42L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pages.count()
+      val res = Pipeline.run(pages, GraftConfig(),
+        profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1"))
+      // Result is fully materialized by Pipeline.run's metric aggregates
+      val allMetrics = res.metrics.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val m = allMetrics.getOrElse("matched_pairs", 0L)
+      if (matched >= 0 && m != matched) matchedStable = false
+      matched = m
+      if (rep == 0) allMetrics.toSeq.sortBy(_._1)
+        .foreach { case (k, v) => System.err.println(s"[bench] $k=$v") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] e2e rep ${rep + 1}/$e2eK: $sec%.1f s")
+      samples = samples :+ sec
+      rep += 1
+    }
+    val e2eSec = samples.min
     val docsPerSec = e2eN / e2eSec
 
-    val qs = results.toSeq.sortBy(_._1)
+    val qs = timings.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(
+    val errs = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val samplesJson = samples.map(s => f"$s%.1f").mkString("[", ",", "]")
+    val line =
       s"""{"metric":"docs_per_sec_e2e","value":${f"$docsPerSec%.1f"},"unit":"docs/sec",""" +
-        s""""e2e_docs":$e2eN,"e2e_sec":${f"$e2eSec%.1f"},"matched_pairs":$matched,""" +
-        s""""cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+        s""""e2e_docs":$e2eN,"e2e_sec":${f"$e2eSec%.1f"},"e2e_samples":$samplesJson,""" +
+        s""""matched_pairs":$matched,"matched_stable":$matchedStable,""" +
+        s""""cpus":$cpus,"queries":$qs,"query_errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-suspenders artifact: the same line as a file, immune to any
+    // log-prefix mangling by whatever launched this JVM
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
