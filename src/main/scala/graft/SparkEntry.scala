@@ -26,12 +26,20 @@ object SparkEntry {
 
   private val cfg = GraftConfig()
 
-  /** The two webtext queries share one pipeline run per scale dir. */
+  /** The webtext queries share one pipeline run per (scale dir, mode). */
   private val pipelineCache =
     scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
   private def pipelineFor(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d,
       Pipeline.run(CorpusSpark.pages(s, corpusN(d), 16, cfg.seed), cfg))
+
+  /** Same corpus under the exact-verify mode (the reference's _SSIM mode,
+    * prefs.h:14; kernel comparison.cpp:141-147) — F9/F10/V1-V3 get their own
+    * hard oracle row via the exported integer (inter, union) measures. */
+  private val cfgExact = cfg.copy(exactVerify = true)
+  private def pipelineExactFor(s: SparkSession, d: String): Pipeline.Result =
+    pipelineCache.getOrElseUpdate(d + "!exact",
+      Pipeline.run(CorpusSpark.pages(s, corpusN(d), 16, cfg.seed), cfgExact))
 
   /** Flagship query (driver smoke-checks rows > 0): end-to-end near-dup
     * pipeline on the deterministic synthetic corpus, reporting the top
@@ -205,6 +213,12 @@ object SparkEntry {
     "q_webtext_clusters" -> ((s, d) =>
       pipelineFor(s, d).clusters
         .select("url", "cluster_id", "is_keeper").orderBy("url")),
+    // exact-verify (SSIM-mode) pipeline end-to-end: DuckDB re-derives the
+    // match decision from the exported integer (inter, union) + len_mod
+    // measures and the closure from scratch — covers F9/F10/V1-V3 hard
+    "q_webtext_exact" -> ((s, d) =>
+      pipelineExactFor(s, d).clusters
+        .select("url", "cluster_id", "is_keeper").orderBy("url")),
     "q_webtext_top_reclaimable" -> ((s, d) =>
       Clusters.topClustersByReclaimable(pipelineFor(s, d).clusters, 20)
         .select(col("cluster_id"), col("n_docs"),
@@ -242,10 +256,26 @@ object SparkEntry {
         col("size").cast("long").as("size"),
         col("text_len").cast("long").as("text_len"), col("warc_ts"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_sigs")
+    // exact-verify mode raw measures: integer (inter, union) slot-Jaccard
+    // sizes + len_mod, from which the oracle re-derives `matched` (the
+    // comparison.cpp:141-147 kernel) and the closure — never the flag itself
+    val resX = pipelineExactFor(spark, sfDir)
+    resX.pairs.select(col("url_a"), col("url_b"),
+      col("sim_bits").cast("long").as("sim_bits"),
+      col("len_mod").cast("long").as("len_mod"),
+      col("jac_inter"), col("jac_union"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_exact")
     DedupOps.simhashes(t(spark, sfDir, "documents"), k = 3, cfg)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/doc_simhashes")
     Multimodal.frameHashes(Multimodal.syntheticMedia(t(spark, sfDir, "documents")))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/media_frame_hashes")
+    // the only non-SQL half of q_ann_lsh is the hyperplane sign-sketch
+    // (XXH64-seeded); export the per-vector bucket keys (same params as
+    // AnnOps.lshTopK's defaults) and DuckDB re-derives EVERYTHING downstream:
+    // multi-probe key expansion, bucket join, candidate dedup, cosine
+    // scoring, window ranking — the q_simhash_dedup pattern
+    AnnOps.hyperplaneSketch(t(spark, sfDir, "embeddings"), nBits = 12, seed = 42L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_buckets")
   }
 
   /** Shared DuckDB prelude for the webtext oracles: re-derives exact groups
@@ -253,10 +283,10 @@ object SparkEntry {
     * member->rep edges (recursive CTE), cluster ids (= component min url) and
     * the keeper ranking — independently of the Spark union-find/window
     * implementation, from the raw measures Verify exports to {AUX}. */
-  private val wtClusterCte: String =
-    """WITH RECURSIVE
+  private def wtCteWith(mpSql: String): String =
+    s"""WITH RECURSIVE
       |sigs AS (SELECT * FROM read_parquet('{AUX}/wt_sigs/*.parquet')),
-      |mp AS (SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet') WHERE matched),
+      |mp AS ($mpSql),
       |grp AS (SELECT url, min(url) OVER (PARTITION BY text_md5) AS rep_url FROM sigs),
       |medges AS (SELECT url AS u, rep_url AS v FROM grp WHERE url <> rep_url),
       |e0 AS (SELECT url_a AS u, url_b AS v FROM mp UNION SELECT u, v FROM medges),
@@ -274,6 +304,21 @@ object SparkEntry {
       |      ORDER BY size DESC, text_len DESC, warc_ts ASC, url ASC) AS rn
       |  FROM clus)
       |""".stripMargin
+
+  private val wtClusterCte: String = wtCteWith(
+    "SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet') WHERE matched")
+
+  /** Exact-mode edges: `matched` is RE-DERIVED by the oracle from the raw
+    * integer measures — the comparison.cpp:141-147 kernel in SQL: gate at
+    * sim_bits >= max(thr_bits, 44), then inter/union + len_mod/64 > thr.
+    * The double division of the same two integers is IEEE-identical on both
+    * engines, so the decision is bit-for-bit. */
+  private val wtExactCte: String = wtCteWith(
+    s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs_exact/*.parquet')
+       | WHERE sim_bits >= ${cfgExact.exactVerifyGate}
+       |   AND (CASE WHEN coalesce(jac_union, 0) > 0
+       |        THEN jac_inter / CAST(jac_union AS DOUBLE) ELSE 0.0 END)
+       |       + len_mod / 64.0 > ${cfgExact.jaccardThreshold}""".stripMargin)
 
   /** DuckDB equivalents for the SQL-expressible queries. Column names, order,
     * and types are aligned with the Spark side (aggregates cast to BIGINT;
@@ -375,6 +420,29 @@ object SparkEntry {
         |  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "q_ann_lsh" ->
+      """WITH sk AS (SELECT * FROM read_parquet('{AUX}/ann_buckets/*.parquet')),
+        |qb AS (
+        |  SELECT vec_id AS query_id,
+        |    CASE WHEN p < 0 THEN bucket
+        |         ELSE xor(bucket, CAST(1 AS BIGINT) << p) END AS bucket
+        |  FROM sk CROSS JOIN (SELECT unnest([-1,0,1,2,3]) AS p) probes
+        |  WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, s.vec_id
+        |  FROM qb q JOIN sk s ON q.bucket = s.bucket
+        |  WHERE s.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |               c.vec_id ASC) AS BIGINT) AS rank
+        |  FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.query_id
+        |  JOIN embeddings b ON b.vec_id = c.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id, rank
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS h, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
@@ -475,6 +543,10 @@ object SparkEntry {
 
     "q_webtext_clusters" ->
       (wtClusterCte +
+        """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
+
+    "q_webtext_exact" ->
+      (wtExactCte +
         """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
 
     "q_webtext_actions" ->

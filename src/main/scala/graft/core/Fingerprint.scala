@@ -217,6 +217,21 @@ object Similarity {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Intersection/union SIZES behind `jaccard`, exposed as integers so a SQL
+    * oracle can re-derive the match decision bit-for-bit (jaccard ==
+    * inter / union as an IEEE double division of the same two integers).
+    * Null/empty handling mirrors `jaccard`: (0, 0) means jaccard 0.0. */
+  def jaccardCounts(a: Array[Long], b: Array[Long]): (Int, Int) = {
+    if (a == null || b == null || (a.isEmpty && b.isEmpty)) return (0, 0)
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    (inter, a.length + b.length - inter)
+  }
+
   /** Exact-verify match predicate (reference: comparison.cpp:143-147):
     * jaccard + modifier/64 > jaccardThreshold, gated by the caller at
     * simBits >= exactVerifyGate (comparison.cpp:141-142). */

@@ -94,9 +94,11 @@ object Pairs {
     * Slot-wise like the reference: head shingles verify the head gate, tail
     * the tail; best-of-two. */
   def exactVerify(scored: DataFrame, signatures: DataFrame, cfg: GraftConfig): DataFrame = {
-    val spark = scored.sparkSession
-    val jaccardUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-      Similarity.jaccard(
+    // raw (intersection, union) SIZES per slot, not just the float: the
+    // persisted integers let an independent SQL oracle re-derive
+    // jaccard = inter/union and the match decision bit-for-bit
+    val countsUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      Similarity.jaccardCounts(
         if (a == null) null else a.toArray,
         if (b == null) null else b.toArray))
 
@@ -104,6 +106,8 @@ object Pairs {
     val gated = scored.filter(col("sim_bits") >= gate)
     val rest = scored.filter(col("sim_bits") < gate)
       .withColumn("jaccard", lit(null).cast("double"))
+      .withColumn("jac_inter", lit(null).cast("long"))
+      .withColumn("jac_union", lit(null).cast("long"))
       .withColumn("matched", lit(false)) // below gate: never matches in SSIM mode
 
     val shA = signatures.select(col("url").as("url_a"),
@@ -111,16 +115,29 @@ object Pairs {
     val shB = signatures.select(col("url").as("url_b"),
       col("shingles_head").as("sh_head_b"), col("shingles_tail").as("sh_tail_b"))
 
+    def jacOf(cnt: Column): Column =
+      when(cnt.getField("_2") > 0,
+        cnt.getField("_1").cast("double") / cnt.getField("_2")).otherwise(lit(0.0))
+
     val verified = gated
       .join(shA, "url_a").join(shB, "url_b")
-      .withColumn("jac_head", jaccardUdf(col("sh_head_a"), col("sh_head_b")))
-      .withColumn("jac_tail",
-        if (cfg.cutEnds) jaccardUdf(col("sh_tail_a"), col("sh_tail_b")) else lit(0.0))
+      .withColumn("cnt_head", countsUdf(col("sh_head_a"), col("sh_head_b")))
+      .withColumn("cnt_tail",
+        if (cfg.cutEnds) countsUdf(col("sh_tail_a"), col("sh_tail_b"))
+        else struct(lit(0).as("_1"), lit(0).as("_2")))
+      .withColumn("jac_head", jacOf(col("cnt_head")))
+      .withColumn("jac_tail", jacOf(col("cnt_tail")))
       .withColumn("jaccard", greatest(col("jac_head"), col("jac_tail")))
+      // best-of-two slot choice; ties go to head (same jaccard value either way)
+      .withColumn("jac_inter", when(col("jac_head") >= col("jac_tail"),
+        col("cnt_head").getField("_1")).otherwise(col("cnt_tail").getField("_1")).cast("long"))
+      .withColumn("jac_union", when(col("jac_head") >= col("jac_tail"),
+        col("cnt_head").getField("_2")).otherwise(col("cnt_tail").getField("_2")).cast("long"))
       .withColumn("matched",
         col("jaccard") + col("len_mod") / lit(64.0) > lit(cfg.jaccardThreshold))
       .withColumn("via", lit("exact"))
-      .drop("sh_head_a", "sh_tail_a", "sh_head_b", "sh_tail_b", "jac_head", "jac_tail")
+      .drop("sh_head_a", "sh_tail_a", "sh_head_b", "sh_tail_b",
+        "cnt_head", "cnt_tail", "jac_head", "jac_tail")
 
     verified.unionByName(rest.select(verified.columns.map(col): _*))
   }
