@@ -60,6 +60,10 @@ object Bench {
     }
 
     // headline: end-to-end dedup throughput on the deterministic corpus
+    // drop the operator-internal caches (DedupOps fingerprint/ngram frames)
+    // accumulated by the query sweep before the e2e measurement
+    graft.ops.DedupOps.cleanupCaches()
+
     val e2eN: Long = sys.env.get("SPARK_GRAFT_E2E_N").map(_.toLong).getOrElse {
       if (sfDir.contains("0.1")) 60000L
       else if (sfDir.contains("0.01")) 10000L

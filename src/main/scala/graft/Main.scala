@@ -37,11 +37,25 @@ object Main {
 
   /** S4 pre-flight root validation (reference: mainwindow.cpp:173-180 shows a
     * "not found" status message for a bad folder and continues with the
-    * rest). Returns the existing roots; missing ones go to `log`. */
-  private[graft] def validRoots(spec: String, log: String => Unit): Seq[String] = {
+    * rest). Returns the existing roots; missing ones go to `log`.
+    *
+    * Probes through the Hadoop FileSystem of each root's own URI scheme, so
+    * remote roots (s3a://, hdfs://, ...) validate against the actual store
+    * instead of the driver's local filesystem (round-2 ADVICE: a
+    * java.nio.Files.exists pre-check silently skipped every remote root). A
+    * root whose filesystem cannot even be instantiated here (no connector on
+    * the driver's classpath, auth failure) is KEPT: the scan will surface
+    * the real error instead of a misleading "not found". */
+  private[graft] def validRoots(spec: String,
+                                hadoopConf: org.apache.hadoop.conf.Configuration,
+                                log: String => Unit): Seq[String] = {
     val roots = spec.split("[;,]").map(_.trim).filter(_.nonEmpty).toSeq
-    val (ok, missing) =
-      roots.partition(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    val (ok, missing) = roots.partition { p =>
+      try {
+        val path = new org.apache.hadoop.fs.Path(p)
+        path.getFileSystem(hadoopConf).exists(path)
+      } catch { case _: Throwable => true }
+    }
     missing.foreach(p => log(s"root not found, skipping: $p"))
     ok
   }
@@ -79,7 +93,8 @@ object Main {
             // S3 multi-root union + S4 missing-root diagnostics: ';'- or
             // ','-separated roots; nonexistent ones are reported and skipped,
             // the scan proceeds over the rest (mainwindow.cpp:164-180)
-            val roots = validRoots(pagesSpec, m => System.err.println(s"[graft] $m"))
+            val roots = validRoots(pagesSpec, spark.sparkContext.hadoopConfiguration,
+              m => System.err.println(s"[graft] $m"))
             require(roots.nonEmpty, s"no readable page roots in '$pagesSpec'")
             spark.read.parquet(roots: _*)
           }

@@ -41,6 +41,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    graft.ops.DedupOps.cleanupCaches()
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", auxDir))}" }
       .mkString("{", ",", "}")

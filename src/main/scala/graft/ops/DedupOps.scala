@@ -15,6 +15,23 @@ import graft.core._
   */
 object DedupOps {
 
+  /** Frames persisted internally by the near-dup operators (fingerprints,
+    * n-gram sets). They must stay cached while the RETURNED lazy DataFrame
+    * executes, so the operators cannot unpersist them eagerly; callers that
+    * run many operators in one session own cleanup — call `cleanupCaches()`
+    * after materializing each result (Bench and Verify do). Otherwise LRU
+    * eviction reclaims them under memory pressure. */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def registerPersist(df: DataFrame): DataFrame = {
+    persistedFrames.add(df.persist())
+    df
+  }
+  def cleanupCaches(): Unit = {
+    var df = persistedFrames.poll()
+    while (df != null) { df.unpersist(false); df = persistedFrames.poll() }
+  }
+
   /** Exact dedup: canonical row = min doc_id per content hash (hash-groupBy,
     * one shuffle; no sort). */
   def exactDedup(docs: DataFrame): DataFrame = {
@@ -62,7 +79,7 @@ object DedupOps {
                  cfg: GraftConfig = GraftConfig()): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = fingerprint(docs, cfg, k).persist()
+    val fp = registerPersist(fingerprint(docs, cfg, k).toDF())
     val bands = fp.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "key")))
     val a = bands.toDF("doc_id_a", "band_id", "key")
     val b = bands.toDF("doc_id_b", "band_id", "key")
@@ -103,7 +120,7 @@ object DedupOps {
     require(64 % sliceBits == 0, "slices must tile 64 bits")
     val nSlices = 64 / sliceBits
     val mask = (1L << sliceBits) - 1
-    val fp = fingerprint(docs, cfg, k).persist()
+    val fp = registerPersist(fingerprint(docs, cfg, k).toDF())
     val slices = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nSlices).map(i =>
         shiftrightunsigned(col("simhash"), i * sliceBits).bitwiseAND(lit(mask))): _*))
@@ -130,18 +147,57 @@ object DedupOps {
       i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** MinHash-LSH near-dup with EXACT verification: dense r=2 minhash banding
-    * proposes candidates (P(miss) = (1-J^2)^(numPerm/2) — ~1e-8 at J=0.5),
-    * then each candidate is verified with exact n-gram-set overlap emitted as
-    * INTEGER (intersection, union) sizes and filtered at
-    * jaccard >= jacNum/jacDen in integer arithmetic — bit-for-bit
-    * reproducible by a SQL oracle, no estimate and no float threshold. */
-  def minhashLshExact(docs: DataFrame, jacNum: Int = 1, jacDen: Int = 2,
-                      k: Int = 3, cfg: GraftConfig = GraftConfig()): DataFrame = {
-    val dense = cfg.copy(minhashBands = cfg.numPerm / 2) // r = 2
+  /** Dense r=2 minhash band keys computed over the SAME split-on-space
+    * n-gram set the exact verifier measures. The candidate generator must
+    * share the verifier's similarity space: shingling `Extract.tokens`
+    * (whitespace-class, empties dropped) while verifying `split(text, ' ')`
+    * n-grams diverges on text with tabs/newlines/space runs, so pairs above
+    * the threshold in split-space could silently never be proposed (round-2
+    * ADVICE). Tokenization, window shape (short spans collapse to one
+    * whole-span shingle), and distinctness mirror `ngramSetCol` exactly;
+    * each distinct n-gram string is XXH64-hashed before minhashing. */
+  private def splitNgramBands(docs: DataFrame, n: Int, cfg: GraftConfig): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fp = fingerprint(docs, dense, k).persist()
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
+      val mh = new MinHasher(cfg.numPerm, cfg.seed)
+      it.map { case (id, text) =>
+        val toks = text.split(" ", -1) // = Spark split(text, " "): keeps empties
+        val upto = math.max(toks.length - (n - 1), 1)
+        val seen = new java.util.HashSet[String]()
+        val hashes = new scala.collection.mutable.ArrayBuffer[Long](upto)
+        var i = 0
+        while (i < upto) {
+          val sb = new java.lang.StringBuilder
+          val end = math.min(i + n, toks.length)
+          var j = i
+          while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+          val ng = sb.toString
+          if (seen.add(ng)) hashes += XXH64.hashString(ng, cfg.seed)
+          i += 1
+        }
+        val sig = mh.signature(hashes.toArray)
+        val bands: Array[Long] =
+          if (sig == null) Array.emptyLongArray
+          else Array.tabulate(cfg.numPerm / 2) { b =>
+            XXH64.hashLong(sig(2 * b + 1), XXH64.hashLong(sig(2 * b), cfg.seed + b))
+          }
+        (id, bands)
+      }
+    }.toDF("doc_id", "bands")
+  }
+
+  /** MinHash-LSH near-dup with EXACT verification: dense r=2 minhash banding
+    * over the split-space n-gram set proposes candidates
+    * (P(miss) = (1-J^2)^(numPerm/2) — ~1e-8 at J=0.5, measured in the SAME
+    * space the verifier uses), then each candidate is verified with exact
+    * n-gram-set overlap emitted as INTEGER (intersection, union) sizes and
+    * filtered at jaccard >= jacNum/jacDen in integer arithmetic —
+    * bit-for-bit reproducible by a SQL oracle, no estimate and no float
+    * threshold. */
+  def minhashLshExact(docs: DataFrame, jacNum: Int = 1, jacDen: Int = 2,
+                      k: Int = 3, cfg: GraftConfig = GraftConfig()): DataFrame = {
+    val fp = registerPersist(splitNgramBands(docs, k, cfg))
     val bands = fp.select(col("doc_id"), posexplode(col("bands")).as(Seq("band_id", "key")))
     val cand = bands.toDF("doc_id_a", "band_id", "key")
       .join(bands.toDF("doc_id_b", "band_id", "key"), Seq("band_id", "key"))
@@ -211,9 +267,21 @@ object DedupOps {
           (block, id, ngrams, bands)
         }
       }.toDF("block", "doc_id", "ngrams", "bands")
-      .persist()
+    registerPersist(withNgrams)
 
     val counts = withNgrams.groupBy("block").count()
+    // one small action up front: it materializes the persisted n-gram frame
+    // exactly once (ahead of AQE's concurrent join stages) AND tells us
+    // whether the banded fallback activates at all — when every block is
+    // small the big-branch plan is dropped entirely
+    val hasBig = counts.filter(col("count") > maxBlockRows).limit(1).count() > 0
+    if (hasBig && minJaccard < 0.3)
+      System.err.println(
+        s"[graft] ngramJaccard: a block exceeds maxBlockRows=$maxBlockRows, so its " +
+          s"pairs come from r=2 minhash banding, which under-recalls below " +
+          s"jaccard ~0.3 (requested minJaccard=$minJaccard) — the result is NOT " +
+          "exhaustive for low-similarity pairs in that block; raise minJaccard, " +
+          "numPerm, or maxBlockRows for exhaustive output")
     val small = withNgrams.join(counts.filter(col("count") <= maxBlockRows), "block")
     val big = withNgrams.join(counts.filter(col("count") > maxBlockRows), "block")
 
@@ -241,7 +309,7 @@ object DedupOps {
       .select(col("block"), col("doc_id_a"), col("doc_id_b"),
         jac(col("ng_a"), col("ng_b")).as("jaccard"))
 
-    smallPairs.unionByName(bigPairs)
+    (if (hasBig) smallPairs.unionByName(bigPairs) else smallPairs)
       .filter(col("jaccard") >= minJaccard)
       .orderBy("block", "doc_id_a", "doc_id_b")
   }
@@ -250,29 +318,39 @@ object DedupOps {
     * cosine via built-in higher-order functions (codegen; no UDF), pairs
     * above threshold, blocked to bound the join.
     *
-    * Blocking: an explicit label column when given; otherwise LSH sign-sketch
-    * buckets with 1-bit-flip multi-probe (round 1 defaulted to a constant
-    * key — a full cartesian on a single reducer; never ship a lit(0) join
-    * key). Multi-probe makes a near-dup pair share >=1 block unless they
-    * differ in >=2 sketch bits — vanishingly unlikely at cosine >= 0.9. Pair
-    * candidates are deduped BEFORE the cosine math, and embeddings join back
-    * at candidate volume (slim key join, not payload through the band
-    * shuffle). */
+    * Blocking: an explicit label column when given; otherwise `sketches`
+    * INDEPENDENT LSH sign-sketches (distinct seeds), each with 1-bit-flip
+    * multi-probe, OR-ed together (round 1 defaulted to a constant key — a
+    * full cartesian on a single reducer; never ship a lit(0) join key).
+    *
+    * Recall honesty (round-2 ADVICE): ONE 8-bit sketch with 1-bit probing
+    * misses a pair iff it differs in >= 2 sketch bits. At cosine ~0.95 the
+    * per-bit disagreement probability is acos(0.95)/pi ~ 0.10, so a single
+    * sketch misses ~19% of true pairs — NOT vanishingly unlikely. With R
+    * independent sketches the miss rate is ~0.19^R (default R=3: < 0.7%);
+    * raise `sketches` (or use an explicit blockCol, or brute-force) when
+    * recall matters more than join volume, which grows linearly in R.
+    * Candidate pairs are deduped across sketches BEFORE the cosine math,
+    * and embeddings join back at candidate volume (slim key join, not
+    * payload through the band shuffle). */
   def embeddingCosineDup(emb: DataFrame, threshold: Double = 0.95,
                          blockCol: Option[String] = None, nBits: Int = 8,
-                         seed: Long = 42L): DataFrame = {
+                         seed: Long = 42L, sketches: Int = 3): DataFrame = {
     val blocked: DataFrame = blockCol match {
       case Some(c) =>
         emb.select(col("vec_id"), col(c).cast("string").as("block"))
       case None =>
-        val sk = AnnOps.hyperplaneSketch(emb, nBits, seed)
-        sk.withColumn("probe", explode(array((lit(-1) +: (0 until nBits).map(lit)): _*)))
-          .withColumn("block",
-            when(col("probe") < 0, col("bucket"))
-              .otherwise(col("bucket").bitwiseXOR(
-                expr("shiftleft(CAST(1 AS BIGINT), CAST(probe AS INT))")))
-              .cast("string"))
-          .select(col("vec_id"), col("block"))
+        (0 until sketches).map { r =>
+          val sk = AnnOps.hyperplaneSketch(emb, nBits, seed + 7919L * r)
+          sk.withColumn("probe", explode(array((lit(-1) +: (0 until nBits).map(lit)): _*)))
+            .withColumn("block",
+              concat(lit(s"$r:"),
+                when(col("probe") < 0, col("bucket"))
+                  .otherwise(col("bucket").bitwiseXOR(
+                    expr("shiftleft(CAST(1 AS BIGINT), CAST(probe AS INT))")))
+                  .cast("string")))
+            .select(col("vec_id"), col("block"))
+        }.reduce(_ unionByName _)
     }
     val ba = blocked.toDF("vec_id_a", "block")
     val bb = blocked.toDF("vec_id_b", "block")

@@ -152,25 +152,50 @@ object Candidates {
     val heavyPairs =
       if (cfg.heavyKeyStar) {
         // STAR + PATH generation, O(n) per heavy group: every row links to
-        // the group's min-url hub, and to its url-order neighbor. The path
-        // links close clusters that the hub alone can miss (e.g. the hub
-        // fails the length-modifier against one member that still matches
-        // its neighbors); heavy groups are near-identical masses, so
-        // adjacent members almost surely match. Exact pair-table parity
-        // needs heavyKeyStar=false (salted triangle).
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("key")).orderBy(col("url"))
-        val withNeighbors = heavyRows
-          .withColumn("url_a", min(col("url")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(col("band_id"), col("key"))))
-          .withColumn("prev", lag(col("url"), 1).over(w))
-        val hubLinks = withNeighbors
-          .filter(col("url") =!= col("url_a"))
-          .select(col("url_a"), col("url").as("url_b"), col("band_id"))
-        val pathLinks = withNeighbors
-          .filter(col("prev").isNotNull && col("prev") =!= col("url_a"))
+        // the group's min-url hub, and to a path neighbor. The path links
+        // close clusters that the hub alone can miss (e.g. the hub fails
+        // the length-modifier against one member that still matches its
+        // neighbors); heavy groups are near-identical masses, so adjacent
+        // members almost surely match. Exact pair-table parity needs
+        // heavyKeyStar=false (salted triangle).
+        //
+        // NO single-task windows: a Window.partitionBy(band_id, key) would
+        // put the ENTIRE heavy group in one sorted task — the very
+        // straggler this routing exists to avoid (at 10^12 docs a
+        // boilerplate band key can be 10^8 rows). Instead:
+        //  - the hub is a distributed groupBy.agg(min) + join-back;
+        //  - path links run inside salted sub-buckets (lag over
+        //    (band_id, key, bucket) — each window partition is ~1/s of the
+        //    group), plus s-1 boundary links stitched from the per-bucket
+        //    (min, max) aggregate, which is only s rows per heavy key. The
+        //    result is still one path visiting every member, in
+        //    (bucket, url) order rather than global url order.
+        val s = cfg.saltBuckets
+        val hubs = heavyRows.groupBy("band_id", "key")
+          .agg(min(col("url")).as("hub_url"))
+        val hubLinks = heavyRows.join(hubs, Seq("band_id", "key"))
+          .filter(col("url") =!= col("hub_url"))
+          .select(col("hub_url").as("url_a"), col("url").as("url_b"), col("band_id"))
+
+        val bucketed = heavyRows
+          .withColumn("bucket", pmod(xxhash64(col("url")), lit(s)).cast("int"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("key"), col("bucket")).orderBy(col("url"))
+        val inBucket = bucketed
+          .withColumn("prev", lag(col("url"), 1).over(wb))
+          .filter(col("prev").isNotNull)
           .select(col("prev").as("url_a"), col("url").as("url_b"), col("band_id"))
-        hubLinks.unionByName(pathLinks)
+        val bounds = bucketed.groupBy("band_id", "key", "bucket")
+          .agg(min(col("url")).as("first_url"), max(col("url")).as("last_url"))
+        val wg = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_id"), col("key")).orderBy(col("bucket"))
+        val boundary = bounds
+          .withColumn("prev_last", lag(col("last_url"), 1).over(wg))
+          .filter(col("prev_last").isNotNull)
+          .select(least(col("prev_last"), col("first_url")).as("url_a"),
+            greatest(col("prev_last"), col("first_url")).as("url_b"), col("band_id"))
+          .filter(col("url_a") =!= col("url_b"))
+        hubLinks.unionByName(inBucket).unionByName(boundary)
       } else {
         // salted triangle self-join (theta-join partitioning over buckets)
         val s = cfg.saltBuckets

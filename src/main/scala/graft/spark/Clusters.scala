@@ -43,12 +43,16 @@ object Clusters {
     e1.union(e2).filter(col("u") =!= col("v")).distinct()
   }
 
-  private def signature(edges: DataFrame): (Long, Long) = {
-    // hashes folded mod p so the ANSI-mode sum cannot overflow Long
+  private def signature(edges: DataFrame): (Long, Long, Long) = {
+    // hashes folded mod p so the ANSI-mode sum cannot overflow Long; the
+    // same one job also estimates the edge-list string payload so the
+    // local-finish gate is a BYTE budget, not a row count (url lengths make
+    // row counts a wildly unreliable proxy for driver heap)
     val row = edges.agg(
       count(lit(1)).as("c"),
-      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L)).as("h")).head()
-    (row.getLong(0), row.getLong(1))
+      coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L)).as("h"),
+      coalesce(sum(length(col("u")) + length(col("v"))), lit(0L)).as("b")).head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
   /** Connected components of an undirected edge list (columns u, v).
@@ -65,9 +69,12 @@ object Clusters {
     * with billions of edges the distributed rounds keep running until the
     * graph contracts below the threshold. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
-                          localFinishEdges: Long = 2000000L): DataFrame = {
+                          localFinishEdges: Long = 2000000L,
+                          localFinishBytes: Long = 256L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    def fitsLocal(cnt: Long, bytes: Long): Boolean =
+      cnt <= localFinishEdges && bytes <= localFinishBytes
 
     def localFinish(e: DataFrame): DataFrame = {
       val uf = new graft.core.UnionFind[String]
@@ -88,18 +95,18 @@ object Clusters {
     // every later stage reads the checkpoint blocks.
     var edges = pairs.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var (cnt, sig) = signature(edges)
+    var (cnt, sig, bytes) = signature(edges)
     if (cnt == 0) return Seq.empty[(String, String)].toDF("url", "cluster_id")
-    if (cnt <= localFinishEdges) return localFinish(edges)
+    if (fitsLocal(cnt, bytes)) return localFinish(edges)
 
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       edges = smallStar(largeStar(edges)).localCheckpoint()
-      val (c2, s2) = signature(edges)
-      if (c2 <= localFinishEdges) return localFinish(edges)
+      val (c2, s2, b2) = signature(edges)
+      if (fitsLocal(c2, b2)) return localFinish(edges)
       converged = (c2, s2) == (cnt, sig)
-      cnt = c2; sig = s2
+      cnt = c2; sig = s2; bytes = b2
       rounds += 1
     }
     // stars: v is the root (= component min); roots label themselves

@@ -57,6 +57,38 @@ class OpsRound2Spec extends AnyFunSuite {
     assert(big === small)
   }
 
+  test("minhashLshExact proposes candidates in the VERIFIER'S similarity " +
+      "space: no silent misses on tabs/newlines/space runs (round-2 ADVICE)") {
+    import spark.implicits._
+    // split(' ')-space near-identical pairs whose Extract.tokens rendering
+    // diverges hard: tabs and newlines glue tokens, double spaces inject
+    // empty tokens — the old Extract.tokens-based signatures measured a
+    // different n-gram space here
+    val weird = Seq(
+      (0L, "alpha\tbeta gamma  delta epsilon\nzeta eta theta iota kappa"),
+      (1L, "alpha\tbeta gamma  delta epsilon\nzeta eta theta iota lambda"),
+      (2L, "one\n\ntwo  three\tfour five six seven eight nine ten"),
+      (3L, "one\n\ntwo  three\tfour five six seven eight nine eleven"),
+      (4L, "completely unrelated filler text with nothing shared at all"))
+    val docs = weird.toDF("doc_id", "text")
+    val got = DedupOps.minhashLshExact(docs, jacNum = 1, jacDen = 2, k = 3, cfg)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    // independent ground truth: brute-force split(' ') trigram jaccard
+    def ngrams(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      val upto = math.max(toks.length - 2, 1)
+      (0 until upto).map(i => toks.slice(i, math.min(i + 3, toks.length)).mkString(" ")).toSet
+    }
+    val truth = (for {
+      (ia, ta) <- weird; (ib, tb) <- weird if ia < ib
+      sa = ngrams(ta); sb = ngrams(tb)
+      inter = (sa & sb).size; union = (sa | sb).size
+      if inter * 2 >= union
+    } yield (ia, ib)).toSet
+    assert(truth.nonEmpty, "fixture must contain split-space near-dups")
+    assert(got === truth, s"missed ${truth -- got}, extra ${got -- truth}")
+  }
+
   test("ngramOverlapExact: hand-computed trigram intersection/union") {
     import spark.implicits._
     val d = Seq((1L, "s", "a b c d"), (2L, "s", "a b c e")).toDF("doc_id", "src", "text")

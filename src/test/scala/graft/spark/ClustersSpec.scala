@@ -46,4 +46,22 @@ class ClustersSpec extends AnyFunSuite {
     val edges = (1 until 500).map(i => ("hub", f"leaf$i%04d"))
     check(edges)
   }
+
+  test("local-finish gate is a BYTE budget: few edges with pathological url " +
+      "lengths route through the distributed rounds, same answer") {
+    import spark.implicits._
+    // 40 edges x ~40 KB urls ~ 3.2 MB of strings: trivially under the edge
+    // COUNT gate, far over a 1 MB byte budget — a row-count gate would
+    // collect these onto the driver regardless of string width
+    val fat = "x" * 20000
+    val edges = (0 until 40).map(i => (s"$fat-${i}", s"$fat-${i + 1}"))
+    val viaBytes = Clusters.connectedComponents(
+        edges.toDF("u", "v"), maxRounds = 50,
+        localFinishEdges = 1000L, localFinishBytes = 1L << 20)
+      .as[(String, String)].collect().toMap
+    val uf = new UnionFind[String]
+    edges.foreach { case (a, b) => uf.union(a, b) }
+    val expected = uf.components(edges.flatMap(e => Seq(e._1, e._2)).distinct)
+    assert(viaBytes === expected)
+  }
 }

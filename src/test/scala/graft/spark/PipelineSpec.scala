@@ -159,4 +159,41 @@ class HeavyKeyStrategySpec extends AnyFunSuite {
     val recall = hits.toDouble / math.max(truth.matchedPairs.size, 1)
     assert(recall >= 0.99, s"star recall $recall at adversarial cap")
   }
+
+  test("one giant band key: star path emits O(n) connected pairs with no " +
+      "single-task window (per-bucket partitions stay ~n/s)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 2000
+    val cfg = GraftConfig(heavyBandKeyCap = 100, heavyDetectSampleFrac = -1.0)
+    // every row carries IDENTICAL fingerprints => every band family
+    // collapses onto one key shared by all n rows — the adversarial
+    // boilerplate-band scenario
+    val reps = spark.range(n).select(
+      format_string("u%05d", col("id")).as("url"),
+      lit(0x1234abcdL).as("simhash_head"), lit(0x5678efL).as("simhash_tail"),
+      array_repeat(lit(7L), cfg.minhashBands).as("mh_bands_head"),
+      array_repeat(lit(8L), cfg.minhashBands).as("mh_bands_tail"),
+      array_repeat(lit(9L), cfg.numPerm / 2).as("mh_rescue_head"),
+      array_repeat(lit(10L), cfg.numPerm / 2).as("mh_rescue_tail"),
+      lit(100L).as("text_len"), lit(1000L).as("size"))
+    val pairs = Candidates.candidatePairs(reps, cfg)
+      .select("url_a", "url_b").as[(String, String)].collect()
+    // O(n), not O(n^2): hub star (n-1) + path links (n-1) + a few boundary
+    // stitches per family, deduped across families
+    assert(pairs.length >= n - 1)
+    assert(pairs.length <= 4 * n, s"${pairs.length} pairs — quadratic blowup?")
+    // the emitted pairs connect ALL n members into one component
+    val uf = new graft.core.UnionFind[String]
+    pairs.foreach { case (a, b) => uf.union(a, b) }
+    val comps = uf.components((0 until n).map(i => f"u$i%05d")).values.toSet
+    assert(comps.size === 1, s"star+path left ${comps.size} components")
+    // partition-size assertion: the path windows run per salt bucket, and
+    // the hash salt spreads the giant group — no window partition (and so
+    // no task) sees more than a fraction of the group
+    val maxBucket = spark.range(n)
+      .select(pmod(xxhash64(format_string("u%05d", col("id"))), lit(cfg.saltBuckets)).as("b"))
+      .groupBy("b").count().agg(max("count")).as[Long].head()
+    assert(maxBucket < n / 2, s"salt bucket of $maxBucket rows — not spread")
+  }
 }

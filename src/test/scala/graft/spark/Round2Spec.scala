@@ -198,12 +198,23 @@ class ActionSinksSpec extends AnyFunSuite {
 }
 
 class RootValidationSpec extends AnyFunSuite {
+  private val conf = new org.apache.hadoop.conf.Configuration()
+
   test("S4: missing roots are reported and skipped, existing ones kept") {
     val dir = Files.createTempDirectory("graft-root").toString
     val logged = scala.collection.mutable.ArrayBuffer.empty[String]
-    val ok = graft.Main.validRoots(s"$dir;/definitely/not/here,$dir", logged += _)
+    val ok = graft.Main.validRoots(s"$dir;/definitely/not/here,$dir", conf, logged += _)
     assert(ok === Seq(dir, dir))
     assert(logged.size === 1)
     assert(logged.head.contains("/definitely/not/here"))
+  }
+
+  test("S4: a root whose scheme has no instantiable filesystem is KEPT " +
+      "(the scan surfaces the real error, not a fake 'not found')") {
+    val logged = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ok = graft.Main.validRoots(
+      "nosuchscheme://bucket/prefix", conf, logged += _)
+    assert(ok === Seq("nosuchscheme://bucket/prefix"))
+    assert(logged.isEmpty)
   }
 }
