@@ -32,8 +32,15 @@ final case class GraftConfig(
     /** Comparison mode: false = fingerprint-only (reference _PHASH), true = gated
       * exact verify (reference _SSIM, prefs.h:14). */
     exactVerify: Boolean = false,
-    /** cutEnds sampling: separate head/tail fingerprints (reference prefs.h:15 default). */
-    cutEnds: Boolean = true,
+    /** Sampling mode — the full reference mode set (thumbnail.h:6-26):
+      * "cutEnds" (the reference default, prefs.h:15) fingerprints the
+      * first/last token-stream halves as separate head/tail slots;
+      * the grid modes ("1x1".."4x3") sample token windows centered at the
+      * reference's capture percentages and fingerprint their union as ONE
+      * slot (the montage-hash analog) — "1x1" is provably the full-document
+      * fingerprint. Changing the mode bumps configFp (stored signatures are
+      * mode-incompatible, like the reference's cache version). */
+    samplingMode: String = "cutEnds",
     /** Shingle size in tokens (the _ssimBlockSize analog; see scaladoc above). */
     k: Int = 8,
     /** MinHash permutations. */
@@ -126,6 +133,11 @@ final case class GraftConfig(
   require(threshold >= 1 && threshold <= 100, "threshold is the [1,100] slider value")
   require(64 % simhashBandBits == 0, "simhash bands must tile 64 bits")
   require(numPerm % minhashBands == 0, "minhash bands must tile numPerm")
+  require(SamplingModes.positions.contains(samplingMode),
+    s"samplingMode '$samplingMode' not in ${SamplingModes.positions.keys.toSeq.sorted}")
+
+  /** Head/tail two-slot sampling active (the reference default). */
+  def cutEnds: Boolean = samplingMode == "cutEnds"
 
   /** reference: mainwindow.cpp:112 `_thresholdSSIM = value / 100.0` */
   def jaccardThreshold: Double = threshold / 100.0
@@ -146,8 +158,8 @@ final case class GraftConfig(
     * old caches are incompatible). Any change to fingerprint-affecting config
     * invalidates cached signatures. */
   def configFp: String = {
-    val s = s"graft1|k=$k|perm=$numPerm|mb=$minhashBands|sb=$simhashBandBits|" +
-      s"cutEnds=$cutEnds|minShingles=$minDistinctShingles|seed=$seed"
+    val s = s"graft2|k=$k|perm=$numPerm|mb=$minhashBands|sb=$simhashBandBits|" +
+      s"mode=$samplingMode|minShingles=$minDistinctShingles|seed=$seed"
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

@@ -22,6 +22,42 @@ final case class DocSignature(
   def isRejected: Boolean = simhashHead == 0L && simhashTail == 0L
 }
 
+/** The reference's thumbnail sampling modes transplanted to token streams
+  * (reference: thumbnail.h:6-26). Each mode captures at fixed percentages of
+  * the duration; here each percentage centers a token window of ~n/P tokens
+  * (P = number of captures), and the montage-hash analog fingerprints the
+  * UNION of the windows' shingle sets as one slot. "cutEnds" keeps its
+  * dedicated two-slot head/tail path (video.cpp:171,181-182). */
+object SamplingModes {
+  /** Capture percentages per mode — the exact m_capturePos table
+    * (thumbnail.h:20-26). */
+  val positions: Map[String, Seq[Int]] = Map(
+    "1x1" -> Seq(48),
+    "2x1" -> Seq(32, 64),
+    "3x1" -> Seq(24, 48, 72),
+    "2x2" -> Seq(16, 40, 56, 80),
+    "3x2" -> Seq(16, 32, 48, 64, 72, 88),
+    "3x3" -> Seq(8, 16, 32, 40, 48, 56, 72, 80, 88),
+    "4x3" -> Seq(8, 16, 24, 32, 40, 48, 56, 64, 72, 80, 88, 96),
+    "cutEnds" -> Seq(8, 96))
+
+  /** Token-index sample spans [from, until) for a grid mode over an n-token
+    * stream: window width ceil(n/P), centered at each capture percentage,
+    * clamped — so "1x1" (one window of n tokens centered anywhere) is
+    * exactly [0, n): full ≡ 1x1 by construction. */
+  def spans(mode: String, n: Int): Seq[(Int, Int)] = mode match {
+    case "cutEnds" => Seq((0, n)) // n<2 fallback; the 2-slot path is separate
+    case m =>
+      val ps = positions(m)
+      val w = math.max((n + ps.size - 1) / ps.size, 1)
+      ps.map { p =>
+        val c = n.toLong * p / 100
+        val start = math.max(0L, math.min(c - w / 2, (n - w).toLong)).toInt
+        (start, math.min(start + w, n))
+      }
+  }
+}
+
 object DocSignatures {
 
   /** Compute the full signature of a canonical text. Pure; shared verbatim by
@@ -57,15 +93,31 @@ object DocSignatures {
         minhash = minHasher.signature(full)
       )
     } else {
-      val full = sh.hashesOf(th, 0, n)
+      // grid modes (and degenerate cutEnds at n<2): one slot over the union
+      // of the mode's sampled token windows — the montage-hash analog.
+      // "1x1" spans exactly [0, n), so it IS the full-document fingerprint.
+      val spans = SamplingModes.spans(cfg.samplingMode, n)
+      val sampled: Array[Long] =
+        if (spans.size == 1 && spans.head == ((0, n))) sh.hashesOf(th, 0, n)
+        else {
+          val set = new java.util.TreeSet[java.lang.Long]()
+          spans.foreach { case (from, until) =>
+            sh.hashesOf(th, from, until).foreach(set.add(_))
+          }
+          val out = new Array[Long](set.size)
+          var i = 0
+          val it = set.iterator()
+          while (it.hasNext) { out(i) = it.next(); i += 1 }
+          out
+        }
       DocSignature(
         textLen = text.length.toLong,
         sizeBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
-        simhashHead = SimHash64.of(full, cfg.minDistinctShingles),
+        simhashHead = SimHash64.of(sampled, cfg.minDistinctShingles),
         simhashTail = 0L,
-        shinglesHead = cap(full),
+        shinglesHead = cap(sampled),
         shinglesTail = Array.emptyLongArray,
-        minhash = minHasher.signature(full)
+        minhash = minHasher.signature(sampled)
       )
     }
   }

@@ -45,9 +45,12 @@ object Multimodal {
   }
 
   /** The reference's sampling plans (thumbnail.h:19-26): capture positions as
-    * percent of duration. */
-  val cutEndsPositions: Seq[Int] = Seq(8, 96)
-  val grid2x2Positions: Seq[Int] = Seq(16, 40, 56, 80)
+    * percent of duration — single-sourced from core.SamplingModes, the same
+    * table the text fingerprints sample by (GraftConfig.samplingMode). */
+  val cutEndsPositions: Seq[Int] = graft.core.SamplingModes.positions("cutEnds")
+  val grid2x2Positions: Seq[Int] = graft.core.SamplingModes.positions("2x2")
+  /** Capture plan for any mode name (thumbnail.h modes "1x1".."4x3", "cutEnds"). */
+  def positionsFor(mode: String): Seq[Int] = graft.core.SamplingModes.positions(mode)
 
   /** Frame-sample + feature-extract: one narrow mapPartitions, batch shape
     * (rows x positions), deterministic output order. */

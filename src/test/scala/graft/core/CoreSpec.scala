@@ -123,7 +123,7 @@ class SimilaritySpec extends AnyFunSuite {
     // head differs fully, tail matches -> tail wins
     val b = Similarity.pairSimilarity(0L, 7L, -1L, 7L, 5, 5, cfg)
     assert(b === 64)
-    val noCut = cfg.copy(cutEnds = false)
+    val noCut = cfg.copy(samplingMode = "1x1")
     assert(Similarity.pairSimilarity(0L, 7L, -1L, 7L, 5, 5, noCut) === 1)
   }
 
