@@ -41,6 +41,15 @@ object SparkEntry {
     pipelineCache.getOrElseUpdate(d + "!exact",
       Pipeline.run(CorpusSpark.pages(s, corpusN(d), 16, cfg.seed), cfgExact))
 
+  /** Same corpus with the suffix-array substring pass on (SURVEY §2.8 V4) —
+    * the oracle re-derives `matched` (simhash threshold OR verbatim-overlap
+    * >= minSubstringOverlap) from exported raw measures; the LCS values
+    * themselves are sbt-pinned (SuffixOverlap suite). */
+  private val cfgSub = cfg.copy(substringPass = true)
+  private def pipelineSubFor(s: SparkSession, d: String): Pipeline.Result =
+    pipelineCache.getOrElseUpdate(d + "!sub",
+      Pipeline.run(CorpusSpark.pages(s, corpusN(d), 16, cfg.seed), cfgSub))
+
   /** Flagship query (driver smoke-checks rows > 0): end-to-end near-dup
     * pipeline on the deterministic synthetic corpus, reporting the top
     * duplicate clusters by reclaimable bytes. */
@@ -219,6 +228,12 @@ object SparkEntry {
     "q_webtext_exact" -> ((s, d) =>
       pipelineExactFor(s, d).clusters
         .select("url", "cluster_id", "is_keeper").orderBy("url")),
+    // substring-pass pipeline end-to-end: matched = simhash threshold OR
+    // suffix-array verbatim overlap >= minSubstringOverlap; the oracle
+    // re-derives the rule + closure from exported (sim_bits, overlap_len)
+    "q_webtext_substring" -> ((s, d) =>
+      pipelineSubFor(s, d).clusters
+        .select("url", "cluster_id", "is_keeper").orderBy("url")),
     "q_webtext_top_reclaimable" -> ((s, d) =>
       Clusters.topClustersByReclaimable(pipelineFor(s, d).clusters, 20)
         .select(col("cluster_id"), col("n_docs"),
@@ -265,6 +280,13 @@ object SparkEntry {
       col("len_mod").cast("long").as("len_mod"),
       col("jac_inter"), col("jac_union"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_exact")
+    // substring-pass raw measures: the oracle re-derives matched =
+    // sim_bits >= thr OR overlap_len >= minSubstringOverlap + the closure
+    val resS = pipelineSubFor(spark, sfDir)
+    resS.pairs.select(col("url_a"), col("url_b"),
+      col("sim_bits").cast("long").as("sim_bits"),
+      col("overlap_len").cast("long").as("overlap_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_ss")
     DedupOps.simhashes(t(spark, sfDir, "documents"), k = 3, cfg)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/doc_simhashes")
     Multimodal.frameHashes(Multimodal.syntheticMedia(t(spark, sfDir, "documents")))
@@ -319,6 +341,14 @@ object SparkEntry {
        |   AND (CASE WHEN coalesce(jac_union, 0) > 0
        |        THEN jac_inter / CAST(jac_union AS DOUBLE) ELSE 0.0 END)
        |       + len_mod / 64.0 > ${cfgExact.jaccardThreshold}""".stripMargin)
+
+  /** Substring-mode edges: fingerprint threshold OR verbatim overlap —
+    * comparison.cpp's match decision with the structural (SSIM-like) pass
+    * rendered as the suffix-array overlap length (SURVEY §2.8 V4). */
+  private val wtSubCte: String = wtCteWith(
+    s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs_ss/*.parquet')
+       | WHERE sim_bits >= ${cfgSub.simBitsThreshold}
+       |    OR coalesce(overlap_len, 0) >= ${cfgSub.minSubstringOverlap}""".stripMargin)
 
   /** DuckDB equivalents for the SQL-expressible queries. Column names, order,
     * and types are aligned with the Spark side (aggregates cast to BIGINT;
@@ -547,6 +577,10 @@ object SparkEntry {
 
     "q_webtext_exact" ->
       (wtExactCte +
+        """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
+
+    "q_webtext_substring" ->
+      (wtSubCte +
         """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
 
     "q_webtext_actions" ->
