@@ -248,6 +248,15 @@ object SparkEntry {
       graft.spark.Pairs.rethreshold(pipelineFor(s, d).pairs, threshold = 80)
         .filter(col("matched"))
         .select(col("url_a"), col("url_b"), col("sim_bits").cast("long").as("sim_bits"))
+        .orderBy("url_a", "url_b")),
+
+    // §3.3 slider in EXACT mode: matched re-derived from the persisted
+    // jaccard branch (gate at max(thr_bits, 44), then jaccard + len_mod/64
+    // > v/100) — the SSIM-mode half of comparison.cpp:478-491
+    "q_rethreshold_exact" -> ((s, d) =>
+      graft.spark.Pairs.rethreshold(pipelineExactFor(s, d).pairs, threshold = 92)
+        .filter(col("matched"))
+        .select(col("url_a"), col("url_b"), col("sim_bits").cast("long").as("sim_bits"))
         .orderBy("url_a", "url_b"))
   )
 
@@ -613,6 +622,18 @@ object SparkEntry {
         |FROM read_parquet('{AUX}/wt_pairs/*.parquet')
         |WHERE sim_bits >= 51
         |ORDER BY url_a, url_b""".stripMargin,
+
+    "q_rethreshold_exact" -> {
+      val v = 92
+      val gate = math.max(math.round(64.0 * v / 100.0).toInt, 44)
+      s"""SELECT url_a, url_b, CAST(sim_bits AS BIGINT) AS sim_bits
+         |FROM read_parquet('{AUX}/wt_pairs_exact/*.parquet')
+         |WHERE jac_union IS NOT NULL AND sim_bits >= $gate
+         |  AND (CASE WHEN jac_union > 0
+         |       THEN jac_inter / CAST(jac_union AS DOUBLE) ELSE 0.0 END)
+         |      + len_mod / 64.0 > ${v / 100.0}
+         |ORDER BY url_a, url_b""".stripMargin
+    },
 
     "q_display_formats" ->
       """SELECT o_orderkey,
