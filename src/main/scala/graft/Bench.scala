@@ -72,7 +72,7 @@ object Bench {
     val e2eK: Int = sys.env.get("SPARK_GRAFT_E2E_K").map(_.toInt).getOrElse(3)
     // best-of-k under non-stationary host noise; cap total e2e wall so a
     // storm-slowed rep cannot blow the harness budget
-    val budgetSec = sys.env.get("SPARK_GRAFT_E2E_BUDGET_SEC").map(_.toDouble).getOrElse(900.0)
+    val budgetSec = sys.env.get("SPARK_GRAFT_E2E_BUDGET_SEC").map(_.toDouble).getOrElse(600.0)
     var samples = List.empty[Double]
     var matched = -1L
     var matchedStable = true

@@ -36,10 +36,17 @@ object SparkEntry {
   /** Same corpus under the exact-verify mode (the reference's _SSIM mode,
     * prefs.h:14; kernel comparison.cpp:141-147) — F9/F10/V1-V3 get their own
     * hard oracle row via the exported integer (inter, union) measures. */
+  /** Mode-coverage pipelines run a SECOND/THIRD full pipeline per scale dir;
+    * they exist to exercise the mode end-to-end, so their corpus is capped —
+    * identical to corpusN at the driver's correctness scale (sf0.01: 5000),
+    * smaller only in the sf0.1 bench sweep where the default-mode pipeline
+    * already carries the scale measurement. */
+  private def modeCorpusN(d: String): Long = math.min(corpusN(d), 8000L)
+
   private val cfgExact = cfg.copy(exactVerify = true)
   private def pipelineExactFor(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d + "!exact",
-      Pipeline.run(CorpusSpark.pages(s, corpusN(d), 16, cfg.seed), cfgExact))
+      Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgExact))
 
   /** Same corpus with the suffix-array substring pass on (SURVEY §2.8 V4) —
     * the oracle re-derives `matched` (simhash threshold OR verbatim-overlap
@@ -48,7 +55,7 @@ object SparkEntry {
   private val cfgSub = cfg.copy(substringPass = true)
   private def pipelineSubFor(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d + "!sub",
-      Pipeline.run(CorpusSpark.pages(s, corpusN(d), 16, cfg.seed), cfgSub))
+      Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgSub))
 
   /** Flagship query (driver smoke-checks rows > 0): end-to-end near-dup
     * pipeline on the deterministic synthetic corpus, reporting the top
