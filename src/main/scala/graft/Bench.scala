@@ -124,10 +124,13 @@ object Bench {
         s""""cpus":$cpus,"queries":$qs,"query_errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders artifact: the same line as a file, immune to any
-    // log-prefix mangling by whatever launched this JVM
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // log-prefix mangling by whatever launched this JVM. Scaling legs
+    // (SKIP_QUERIES) don't write it — they would clobber the full-sweep
+    // record with a single pinned-leg sample.
+    if (!skipQueries)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      catch { case _: Throwable => () }
     spark.stop()
   }
 }
