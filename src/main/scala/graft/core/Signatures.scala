@@ -16,7 +16,13 @@ final case class DocSignature(
     simhashTail: Long,
     shinglesHead: Array[Long],
     shinglesTail: Array[Long],
-    minhash: Array[Long] // null when doc has no shingles
+    minhash: Array[Long], // null when doc has no shingles
+    /** Winnowing-style sampled shingle hashes (h % shingleSampleMod == 0) for
+      * the substring pass's band keys, drawn from the FULL pre-cap shingle
+      * stream — a verbatim block inside a giant document whose shingles fall
+      * outside the stored bottom-k sketch still yields candidate keys
+      * (round-3 verdict: sampling from the capped arrays silently lost those). */
+    ssKeys: Array[Long]
 ) {
   /** Reference rejects a video when every hash slot is 0 (video.cpp:40-42). */
   def isRejected: Boolean = simhashHead == 0L && simhashTail == 0L
@@ -78,6 +84,24 @@ object DocSignatures {
     def cap(a: Array[Long]): Array[Long] =
       if (a.length <= cfg.maxStoredShinglesPerSlot) a
       else java.util.Arrays.copyOf(a, cfg.maxStoredShinglesPerSlot)
+    // substring-pass band keys, sampled from the FULL (pre-cap) sorted-distinct
+    // slot sets; merge-dedupe across slots (both inputs sorted ascending)
+    def sampleKeys(a: Array[Long], b: Array[Long]): Array[Long] = {
+      val m = cfg.shingleSampleMod
+      val buf = new scala.collection.mutable.ArrayBuffer[Long](16)
+      var i = 0; var j = 0
+      var last = Long.MinValue; var hasLast = false
+      def emit(v: Long): Unit =
+        if (v % m == 0 && (!hasLast || v != last)) { buf += v; last = v; hasLast = true }
+      while (i < a.length && j < b.length) {
+        if (a(i) < b(j)) { emit(a(i)); i += 1 }
+        else if (a(i) > b(j)) { emit(b(j)); j += 1 }
+        else { emit(a(i)); i += 1; j += 1 }
+      }
+      while (i < a.length) { emit(a(i)); i += 1 }
+      while (j < b.length) { emit(b(j)); j += 1 }
+      buf.toArray
+    }
     if (cfg.cutEnds && n >= 2) {
       val mid = n / 2
       val head = sh.hashesOf(th, 0, mid)
@@ -90,7 +114,8 @@ object DocSignatures {
         simhashTail = SimHash64.of(tail, cfg.minDistinctShingles),
         shinglesHead = cap(head),
         shinglesTail = cap(tail),
-        minhash = minHasher.signature(full)
+        minhash = minHasher.signature(full),
+        ssKeys = sampleKeys(head, tail)
       )
     } else {
       // grid modes (and degenerate cutEnds at n<2): one slot over the union
@@ -117,7 +142,8 @@ object DocSignatures {
         simhashTail = 0L,
         shinglesHead = cap(sampled),
         shinglesTail = Array.emptyLongArray,
-        minhash = minHasher.signature(sampled)
+        minhash = minHasher.signature(sampled),
+        ssKeys = sampleKeys(sampled, Array.emptyLongArray)
       )
     }
   }

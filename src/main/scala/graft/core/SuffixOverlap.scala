@@ -41,41 +41,78 @@ object SuffixOverlap {
     best
   }
 
-  /** Suffix array via prefix doubling (O(n log^2 n)). */
+  /** Suffix array via prefix doubling with LSD radix (counting) sort per
+    * round — O(n log n), fully primitive arrays (the round-3 boxed
+    * Integer[]/comparator sort re-boxed every doubling round; this is the
+    * same textbook construction with the sort replaced by two stable
+    * counting-sort passes over int keys). */
   def suffixArray(s: String): Array[Int] = {
     val n = s.length
-    val sa = Array.tabulate(n)(identity)
-    var rank = Array.tabulate(n)(i => s.charAt(i).toInt)
+    if (n == 0) return Array.emptyIntArray
+    var sa = Array.tabulate(n)(identity)
     var tmp = new Array[Int](n)
-    var k = 1
-    final class DoubleCmp extends java.util.Comparator[Integer] {
-      var kk = 1
-      def compare(x: Integer, y: Integer): Int = {
-        val i = x.intValue(); val j = y.intValue()
-        if (rank(i) != rank(j)) Integer.compare(rank(i), rank(j))
-        else {
-          val ri = if (i + kk < n) rank(i + kk) else -1
-          val rj = if (j + kk < n) rank(j + kk) else -1
-          Integer.compare(ri, rj)
-        }
-      }
-    }
-    val ord = new DoubleCmp
-    val boxed: Array[Integer] = sa.map(Int.box)
-    while (k < n) {
-      ord.kk = k
-      java.util.Arrays.sort(boxed, ord)
+    var rank = Array.tabulate(n)(i => s.charAt(i).toInt)
+    var rank2 = new Array[Int](n)
+    // bucket array sized for the larger of the initial char keyspace and the
+    // rank keyspace (ranks < n); +2 for the shifted "out of range" key 0
+    val cnt = new Array[Int](math.max(65536, n) + 2)
+
+    /** Stable counting sort of `src` into `dst` by key rank(i+k)+1 (0 when
+      * i+k is out of range); maxKey bounds the occupied key range. */
+    def pass(src: Array[Int], dst: Array[Int], k: Int, maxKey: Int): Unit = {
+      java.util.Arrays.fill(cnt, 0, maxKey + 2, 0)
       var i = 0
-      while (i < n) { sa(i) = boxed(i).intValue(); i += 1 }
-      tmp(sa(0)) = 0
-      i = 1
       while (i < n) {
-        tmp(sa(i)) = tmp(sa(i - 1)) + (if (ord.compare(sa(i - 1), sa(i)) < 0) 1 else 0)
+        val p = src(i) + k
+        val key = if (p < n) rank(p) + 1 else 0
+        cnt(key) += 1
         i += 1
       }
-      val t = rank; rank = tmp; tmp = t
-      if (rank(sa(n - 1)) == n - 1) k = n // all ranks distinct -> done
-      else k <<= 1
+      var sum = 0
+      i = 0
+      while (i <= maxKey + 1) { val c = cnt(i); cnt(i) = sum; sum += c; i += 1 }
+      i = 0
+      while (i < n) {
+        val p = src(i) + k
+        val key = if (p < n) rank(p) + 1 else 0
+        dst(cnt(key)) = src(i)
+        cnt(key) += 1
+        i += 1
+      }
+    }
+
+    var maxRank = 65535
+    // initial order: sort by first char (k=0 pass)
+    pass(sa, tmp, 0, maxRank)
+    var t = sa; sa = tmp; tmp = t
+    // dense initial ranks
+    rank2(sa(0)) = 0
+    var i = 1
+    while (i < n) {
+      rank2(sa(i)) = rank2(sa(i - 1)) +
+        (if (s.charAt(sa(i)) != s.charAt(sa(i - 1))) 1 else 0)
+      i += 1
+    }
+    t = rank; rank = rank2; rank2 = t
+    maxRank = rank(sa(n - 1))
+
+    var k = 1
+    while (k < n && maxRank < n - 1) {
+      pass(sa, tmp, k, maxRank) // by second key rank(i+k)
+      pass(tmp, sa, 0, maxRank) // stable by first key rank(i)
+      // re-rank by the (rank, rank+k) pair
+      rank2(sa(0)) = 0
+      i = 1
+      while (i < n) {
+        val a = sa(i - 1); val b = sa(i)
+        val a2 = if (a + k < n) rank(a + k) else -1
+        val b2 = if (b + k < n) rank(b + k) else -1
+        rank2(b) = rank2(a) + (if (rank(a) != rank(b) || a2 != b2) 1 else 0)
+        i += 1
+      }
+      t = rank; rank = rank2; rank2 = t
+      maxRank = rank(sa(n - 1))
+      k <<= 1
     }
     sa
   }

@@ -87,6 +87,7 @@ object PageFingerprint {
     StructField("mh_rescue_tail", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("shingles_head", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("shingles_tail", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("ss_keys", ArrayType(LongType, containsNull = false), nullable = false),
     StructField("extract_ok", BooleanType, nullable = false),
     StructField("reject_reason", StringType, nullable = true)
   ))
@@ -109,7 +110,7 @@ final class FingerprintKernel(cfg: GraftConfig) extends Serializable {
     val extracted = Extract.text(html)
     val expected = if (text == null) "" else text.toString
     val sig = DocSignatures.of(extracted, cfg, mh)
-    val row = new GenericInternalRow(14)
+    val row = new GenericInternalRow(15)
     row.setLong(0, sig.textLen)
     row.setLong(1, sig.sizeBytes)
     row.update(2, UTF8String.fromString(FingerprintKernel.md5hex(extracted)))
@@ -127,13 +128,14 @@ final class FingerprintKernel(cfg: GraftConfig) extends Serializable {
       rescueKeys(mhTail, sig.shinglesTail.length)))
     row.update(10, UnsafeArrayData.fromPrimitiveArray(sig.shinglesHead))
     row.update(11, UnsafeArrayData.fromPrimitiveArray(sig.shinglesTail))
-    row.setBoolean(12, extracted == expected)
+    row.update(12, UnsafeArrayData.fromPrimitiveArray(sig.ssKeys))
+    row.setBoolean(13, extracted == expected)
     val reject =
       if (extracted.isEmpty) "empty_text"
       else if (html != null && extracted.length > html.length) "extract_anomaly"
       else if (sig.isRejected) "low_entropy"
       else null
-    if (reject == null) row.setNullAt(13) else row.update(13, UTF8String.fromString(reject))
+    if (reject == null) row.setNullAt(14) else row.update(14, UTF8String.fromString(reject))
     row
   }
 

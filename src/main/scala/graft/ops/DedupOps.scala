@@ -12,6 +12,13 @@ import graft.core._
   * cosine. The web-text pipeline (graft.spark.Pipeline) composes the same
   * primitives with the reference's exact semantics; these entry points make
   * them reusable on any text column.
+  *
+  * Session hygiene: the near-dup operators persist internal frames
+  * (fingerprints, n-gram sets) that must outlive the returned lazy
+  * DataFrame; long-lived sessions running many operators should call
+  * [[cleanupCaches]] after materializing each result (Bench and Verify do),
+  * or the accumulated plan references are only reclaimed by LRU block
+  * eviction, never the JVM references themselves.
   */
 object DedupOps {
 
@@ -32,8 +39,10 @@ object DedupOps {
     while (df != null) { df.unpersist(false); df = persistedFrames.poll() }
   }
 
-  /** Exact dedup: canonical row = min doc_id per content hash (hash-groupBy,
-    * one shuffle; no sort). */
+  /** Exact dedup: canonical row = min doc_id per content hash — a ranking
+    * window over content_md5 (one hash shuffle; the sort is per-key within
+    * partitions, never global), so every row keeps its dup_rank/is_canonical
+    * flags rather than collapsing to one representative. */
   def exactDedup(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
     docs.select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("content_md5"))

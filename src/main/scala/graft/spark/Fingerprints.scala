@@ -33,6 +33,7 @@ final case class SignatureRow(
     mh_rescue_tail: Array[Long],
     shingles_head: Array[Long],
     shingles_tail: Array[Long],
+    ss_keys: Array[Long],
     extract_ok: Boolean,
     config_fp: String,
     reject_reason: Option[String]
@@ -143,6 +144,7 @@ object Fingerprints {
       mh_rescue_tail = rescueKeys(mhTail, sig.shinglesTail.length),
       shingles_head = sig.shinglesHead,
       shingles_tail = sig.shinglesTail,
+      ss_keys = sig.ssKeys,
       extract_ok = extractOk,
       config_fp = cfg.configFp,
       reject_reason = reject
@@ -186,7 +188,7 @@ object Fingerprints {
         col("fp.simhash_head"), col("fp.simhash_tail"),
         col("fp.minhash"), col("fp.mh_bands_head"), col("fp.mh_bands_tail"),
         col("fp.mh_rescue_head"), col("fp.mh_rescue_tail"),
-        col("fp.shingles_head"), col("fp.shingles_tail"),
+        col("fp.shingles_head"), col("fp.shingles_tail"), col("fp.ss_keys"),
         col("fp.extract_ok"),
         lit(cfg.configFp).as("config_fp"),
         col("fp.reject_reason"))

@@ -94,14 +94,6 @@ object Pairs {
     * Slot-wise like the reference: head shingles verify the head gate, tail
     * the tail; best-of-two. */
   def exactVerify(scored: DataFrame, signatures: DataFrame, cfg: GraftConfig): DataFrame = {
-    // raw (intersection, union) SIZES per slot, not just the float: the
-    // persisted integers let an independent SQL oracle re-derive
-    // jaccard = inter/union and the match decision bit-for-bit
-    val countsUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-      Similarity.jaccardCounts(
-        if (a == null) null else a.toArray,
-        if (b == null) null else b.toArray))
-
     val gate = cfg.exactVerifyGate
     val gated = scored.filter(col("sim_bits") >= gate)
     val rest = scored.filter(col("sim_bits") < gate)
@@ -109,6 +101,24 @@ object Pairs {
       .withColumn("jac_inter", lit(null).cast("long"))
       .withColumn("jac_union", lit(null).cast("long"))
       .withColumn("matched", lit(false)) // below gate: never matches in SSIM mode
+
+    val verified = verifyJoin(gated, signatures, cfg, cfg.jaccardThreshold)
+    verified.unionByName(rest.select(verified.columns.map(col): _*))
+  }
+
+  /** The expensive half of the exact verify: join the gated pairs to the
+    * stored shingle sets and derive (jaccard, jac_inter, jac_union, matched,
+    * via) at the given Jaccard threshold. Shared by [[exactVerify]] (run
+    * threshold) and [[reverify]] (a lower slider value). */
+  private def verifyJoin(gated: DataFrame, signatures: DataFrame,
+                         cfg: GraftConfig, jacThr: Double): DataFrame = {
+    // raw (intersection, union) SIZES per slot, not just the float: the
+    // persisted integers let an independent SQL oracle re-derive
+    // jaccard = inter/union and the match decision bit-for-bit
+    val countsUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      Similarity.jaccardCounts(
+        if (a == null) null else a.toArray,
+        if (b == null) null else b.toArray))
 
     val shA = signatures.select(col("url").as("url_a"),
       col("shingles_head").as("sh_head_a"), col("shingles_tail").as("sh_tail_a"))
@@ -119,7 +129,7 @@ object Pairs {
       when(cnt.getField("_2") > 0,
         cnt.getField("_1").cast("double") / cnt.getField("_2")).otherwise(lit(0.0))
 
-    val verified = gated
+    gated
       .join(shA, "url_a").join(shB, "url_b")
       .withColumn("cnt_head", countsUdf(col("sh_head_a"), col("sh_head_b")))
       .withColumn("cnt_tail",
@@ -134,12 +144,38 @@ object Pairs {
       .withColumn("jac_union", when(col("jac_head") >= col("jac_tail"),
         col("cnt_head").getField("_2")).otherwise(col("cnt_tail").getField("_2")).cast("long"))
       .withColumn("matched",
-        col("jaccard") + col("len_mod") / lit(64.0) > lit(cfg.jaccardThreshold))
+        col("jaccard") + col("len_mod") / lit(64.0) > lit(jacThr))
       .withColumn("via", lit("exact"))
       .drop("sh_head_a", "sh_tail_a", "sh_head_b", "sh_tail_b",
         "cnt_head", "cnt_tail", "jac_head", "jac_tail")
+  }
 
-    verified.unionByName(rest.select(verified.columns.map(col): _*))
+  /** §3.3 slider BELOW the original run threshold in exact mode — the half of
+    * comparison.cpp:478-491 that [[rethreshold]] is documented conservative
+    * about: when the slider drops, the reference's gate max(thr, 44)
+    * (comparison.cpp:141-142) ADMITS pairs that the original (higher) gate
+    * never verified, and it recomputes SSIM for them live. Here: candidate
+    * pairs persist with raw measures, so only the never-verified stratum
+    * (sim_bits in [newGate, oldGate), jaccard IS NULL) re-runs the Jaccard
+    * join — the banding/scoring stages are NOT re-run, and the
+    * already-verified rows just re-derive `matched` at the new value, exactly
+    * like [[rethreshold]]. Complete slider parity for any v. */
+  def reverify(pairs: DataFrame, signatures: DataFrame, cfg: GraftConfig,
+               newThreshold: Int): DataFrame = {
+    require(newThreshold >= 1 && newThreshold <= 100,
+      "newThreshold is the [1,100] slider value")
+    val newGate = math.max(math.round(64.0 * newThreshold / 100.0).toInt, 44)
+    val jacThr = newThreshold / 100.0
+
+    val needVerify = pairs.filter(col("jaccard").isNull && col("sim_bits") >= newGate)
+    val untouched = pairs.filter(col("jaccard").isNotNull || col("sim_bits") < newGate)
+
+    val verified = verifyJoin(needVerify, signatures, cfg, jacThr)
+    val all = untouched.select(verified.columns.map(col): _*).unionByName(verified)
+    // final decision at the new slider value over the (now complete) measures
+    all.withColumn("matched",
+      col("jaccard").isNotNull && col("sim_bits") >= newGate &&
+        col("jaccard") + col("len_mod") / lit(64.0) > jacThr)
   }
 
   /** Suffix-array substring pass (SURVEY §2.8 V4): candidate pairs that came

@@ -17,7 +17,7 @@ class FingerprintExprSpec extends AnyFunSuite {
     val cols = Seq("url", "content_id", "part_id", "text_len", "size", "text_md5",
       "simhash_head", "simhash_tail", "minhash", "mh_bands_head", "mh_bands_tail",
       "mh_rescue_head", "mh_rescue_tail", "shingles_head", "shingles_tail",
-      "extract_ok", "config_fp", "reject_reason")
+      "ss_keys", "extract_ok", "config_fp", "reject_reason")
     val a = Fingerprints.fromPages(pages, cfg)
       .select(cols.map(col): _*).orderBy("url").collect()
     val b = Fingerprints.fromPagesTyped(pages, cfg).toDF()
