@@ -167,6 +167,8 @@ object SparkEntry {
     "q_exact_dedup" -> ((s, d) => DedupOps.exactDedup(t(s, d, "documents"))),
     "q_minhash_lsh" -> ((s, d) =>
       DedupOps.minhashLshExact(t(s, d, "documents"), jacNum = 1, jacDen = 2, k = 3, cfg)),
+    "q_minhash_est" -> ((s, d) =>
+      DedupOps.minhashLsh(t(s, d, "documents"), minJaccard = 0.5, k = 3, cfg)),
     "q_simhash_dedup" -> ((s, d) =>
       DedupOps.simhashDedup(t(s, d, "documents"), maxHamming = 7, k = 3, cfg)),
     "q_ngram_jaccard" -> ((s, d) =>
@@ -360,6 +362,11 @@ object SparkEntry {
     exportSigs(resG, "wt_sigs_grid")
     DedupOps.simhashes(t(spark, sfDir, "documents"), k = 3, cfg)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/doc_simhashes")
+    // minhash signatures + band keys: the hash chains are the only non-SQL
+    // step of q_minhash_est; DuckDB re-derives band join, candidate dedup,
+    // the agreement estimate, and the threshold from these rows
+    DedupOps.minhashFingerprints(t(spark, sfDir, "documents"), k = 3, cfg)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/mh_fp")
     Multimodal.frameHashes(Multimodal.syntheticMedia(t(spark, sfDir, "documents")))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/media_frame_hashes")
     // the only non-SQL half of q_ann_lsh is the hyperplane sign-sketch
@@ -622,6 +629,27 @@ object SparkEntry {
         |SELECT block, doc_id_a, doc_id_b, inter_size, union_size FROM pr
         |WHERE inter_size * 20 >= union_size * 1
         |ORDER BY block, doc_id_a, doc_id_b""".stripMargin,
+
+    "q_minhash_est" ->
+      """WITH fp AS (SELECT * FROM read_parquet('{AUX}/mh_fp/*.parquet')),
+        |bnd AS (
+        |  SELECT doc_id, i AS band_id, bands[i] AS key
+        |  FROM fp, unnest(generate_series(1, len(bands))) AS t(i)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        |  FROM bnd a JOIN bnd b ON a.band_id = b.band_id AND a.key = b.key
+        |  WHERE a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.doc_id_a, c.doc_id_b,
+        |    len(list_filter(generate_series(1, len(fa.minhash)),
+        |        i -> fa.minhash[i] = fb.minhash[i]))
+        |      / CAST(len(fa.minhash) AS DOUBLE) AS est_jaccard
+        |  FROM cand c
+        |  JOIN fp fa ON fa.doc_id = c.doc_id_a
+        |  JOIN fp fb ON fb.doc_id = c.doc_id_b)
+        |SELECT doc_id_a, doc_id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "q_simhash_dedup" ->
       """WITH s AS (SELECT * FROM read_parquet('{AUX}/doc_simhashes/*.parquet'))

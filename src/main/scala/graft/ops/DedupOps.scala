@@ -110,6 +110,14 @@ object DedupOps {
       .orderBy("doc_id_a", "doc_id_b")
   }
 
+  /** Per-doc (minhash signature, band keys) rows (exported for the harness's
+    * DuckDB oracle of [[minhashLsh]]: the hash chains are the only non-SQL
+    * step, so DuckDB re-derives everything downstream — band self-join,
+    * candidate dedup, minhash-agreement estimate, threshold). */
+  def minhashFingerprints(docs: DataFrame, k: Int = 3,
+                          cfg: GraftConfig = GraftConfig()): DataFrame =
+    fingerprint(docs, cfg, k).select(col("doc_id"), col("minhash"), col("bands"))
+
   /** Per-doc 64-bit SimHash fingerprints (exported for the harness's DuckDB
     * oracle: DuckDB recomputes the band join as a brute-force
     * bit_count(xor) <= maxHamming over these values). */
