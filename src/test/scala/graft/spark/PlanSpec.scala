@@ -1,0 +1,77 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftConfig
+import graft.data.CorpusSpark
+
+/** Physical-plan shape assertions — the properties the scale-out dossier
+  * (README) claims must hold are pinned here so a regression in pushdown or
+  * join strategy fails CI, not a 100-TB run:
+  *  - the S2 lang filter reaches the parquet scan as a pushed filter,
+  *  - the scan prunes to the selected columns,
+  *  - the heavy-key hub join broadcasts (never sort-merges the heavy group),
+  *  - the exact-verify shingle join stays a hash join at pair volume.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private def writtenPages(n: Long): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-pages").toString
+    CorpusSpark.pages(spark, n, parts = 2, seed = 42L)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("S2 lang filter is pushed to the parquet scan; columns are pruned") {
+    val dir = writtenPages(200L)
+    val df = spark.read.parquet(dir)
+      .filter(col("lang").isin("en", "de"))
+      .select("url", "lang")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(lang"), plan.take(2000))
+    // pruned read schema: url + lang only — html/text must NOT be read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("url") && readSchema.contains("lang"), readSchema)
+    assert(!readSchema.contains("html") && !readSchema.contains("text"), readSchema)
+  }
+
+  test("heavy-key hub join broadcasts; no sort-merge join in the star path") {
+    import spark.implicits._
+    val n = 600
+    val cfg = GraftConfig(heavyBandKeyCap = 50, heavyDetectSampleFrac = -1.0)
+    // one giant band group (identical fingerprints) — the adversarial case
+    val reps = spark.range(n).select(
+      format_string("u%05d", col("id")).as("url"),
+      lit(0x1234abcdL).as("simhash_head"), lit(0x5678efL).as("simhash_tail"),
+      array_repeat(lit(7L), cfg.minhashBands).as("mh_bands_head"),
+      array_repeat(lit(8L), cfg.minhashBands).as("mh_bands_tail"),
+      array_repeat(lit(9L), cfg.numPerm / 2).as("mh_rescue_head"),
+      array_repeat(lit(10L), cfg.numPerm / 2).as("mh_rescue_tail"),
+      lit(100L).as("text_len"), lit(1000L).as("size"))
+    val pairs = Candidates.candidatePairs(reps, cfg)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the star path must not sort-merge the heavy group on (band_id, key):
+    // every heavy-side join (anti/semi routing, hub links) is broadcast, so
+    // a SortMergeJoin keyed by band_id would mean the whole group collapsed
+    // into per-key sorted tasks — the exact straggler the path exists to kill
+    val smjOnBand = plan.linesIterator.exists(l =>
+      l.contains("SortMergeJoin") && l.contains("band_id"))
+    assert(!smjOnBand, "heavy path sort-merge-joined on band_id:\n" + plan.take(3000))
+  }
+
+  test("exact-verify shingle join is a hash join gated to the admitted stratum") {
+    val cfg = GraftConfig(exactVerify = true)
+    val pages = CorpusSpark.pages(spark, 400L, parts = 2, seed = cfg.seed)
+    val res = Pipeline.run(pages, cfg)
+    res.pairs.collect()
+    val plan = res.pairs.queryExecution.executedPlan.toString
+    // the expensive verify join must be a hash join (broadcast or shuffled),
+    // never a nested-loop/cartesian product
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+}
