@@ -41,15 +41,39 @@ import graft.core.GraftConfig
   */
 object Candidates {
 
-  /** Band rows are slim — (band_id, key, url) only. Scoring payloads join
-    * back AFTER pair-dedup: the deduped pair count is orders of magnitude
-    * smaller than the band-join volume, so two hash joins against a slim
-    * signature projection beat carrying payload bytes through the shuffle. */
+  /** Band rows are slim — (band_id, key, id) only, where `id` is a dense
+    * dictionary long (see [[dictionary]]), NOT the url string. Scoring
+    * payloads join back AFTER pair-dedup: the deduped pair count is orders of
+    * magnitude smaller than the band-join volume, so two hash joins against a
+    * slim signature projection beat carrying payload bytes through the
+    * shuffle — and an 8-byte key through the band join + pair-dedup +
+    * union-find shuffles beats a ~40-80-byte url severalfold on the
+    * bandwidth-bound stages (round-4 scaling measurement). */
 
-  /** Explode signatures (representatives) into band rows.
-    * band_id layout: 0..B-1 simhash head slices, B..2B-1 simhash tail slices,
-    * 100.. minhash head bands, 200.. minhash tail bands, 300../400.. 8-bit
-    * rescue slices for short head/tail slots, 1000 sampled shingles. */
+  /** Order-preserving dense dictionary: id(url) = rank of url in the sorted
+    * distinct url set. Order isomorphism is load-bearing — min(id) of a set
+    * is min(url), and id_a < id_b iff url_a < url_b — so every downstream
+    * min/ordering decision (hub election, pair orientation, cluster_id =
+    * component min) is bit-identical to the url-keyed semantics after mapping
+    * back. The mapping is a pure function of the url SET (global sort rank),
+    * independent of input partitioning — the pairs-table determinism
+    * contract (SURVEY §5.7) survives the encoding.
+    *
+    * Cost: one range-shuffle + sort of the slim url column, and the
+    * partition-size count that zipWithIndex needs — both at rep volume,
+    * amortized against every wide shuffle downstream. */
+  def dictionary(urls: DataFrame): DataFrame = {
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls.select(col("url")).orderBy("url").as[String].rdd
+      .zipWithIndex()
+      .toDF("url", "id")
+  }
+
+  /** Explode signatures (representatives, keyed by dictionary `id`) into band
+    * rows. band_id layout: 0..B-1 simhash head slices, B..2B-1 simhash tail
+    * slices, 100.. minhash head bands, 200.. minhash tail bands, 300../400..
+    * rescue bands for short head/tail slots, 1000 sampled shingles. */
   def bands(reps: DataFrame, cfg: GraftConfig): DataFrame = {
     val B = cfg.simhashBands
     val w = cfg.simhashBandBits
@@ -79,11 +103,11 @@ object Candidates {
     }
 
     val base = reps
-      .select(col("url"), col("simhash_head"), col("simhash_tail"),
+      .select(col("id"), col("simhash_head"), col("simhash_tail"),
         col("mh_bands_head"), col("mh_bands_tail"),
         col("mh_rescue_head"), col("mh_rescue_tail"),
         explode(array(headBands ++ tailBands ++ mhHead ++ mhTail ++ shortHead ++ shortTail: _*)).as("b"))
-      .select(col("url"), col("b.band_id").as("band_id"), col("b.key").as("key"))
+      .select(col("id"), col("b.band_id").as("band_id"), col("b.key").as("key"))
       .filter(col("key").isNotNull)
 
     if (!cfg.substringPass) base
@@ -94,8 +118,8 @@ object Candidates {
       // stream — a verbatim block in a giant doc whose shingles were capped
       // away from the stored bottom-k sketch still becomes a candidate.
       val sampled = reps
-        .select(col("url"), explode(col("ss_keys")).as("key"))
-        .select(col("url"), lit(1000).as("band_id"), col("key"))
+        .select(col("id"), explode(col("ss_keys")).as("key"))
+        .select(col("id"), lit(1000).as("band_id"), col("key"))
       base.unionByName(sampled)
     }
   }
@@ -113,17 +137,42 @@ object Candidates {
     * backstop for moderately hot keys.
     */
   def candidatePairs(reps: DataFrame, cfg: GraftConfig): DataFrame = {
+    // dictionary-encode urls to dense order-preserving longs for the whole
+    // candidate layer: every shuffle from here to pair join-back carries an
+    // 8-byte id instead of the url string (the largest measured bandwidth
+    // cost on the band join and pair dedup at scale). The slim band-input
+    // projection (fingerprint columns only — never the shingle arrays) is
+    // joined to the dictionary ONCE at rep volume; urls re-enter at pair
+    // volume via the payload join-back.
+    val spark = reps.sparkSession
+    import spark.implicits._
+    // the sorted url RDD is read twice (zipWithIndex's partition-size job +
+    // the dictionary join) — persist for the window, released after bnds
+    // materializes everything downstream of it
+    val sortedUrls = reps.select(col("url")).orderBy("url").as[String].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = sortedUrls.zipWithIndex().toDF("url", "id")
+    val bandCols = Seq("simhash_head", "simhash_tail",
+      "mh_bands_head", "mh_bands_tail", "mh_rescue_head", "mh_rescue_tail") ++
+      (if (cfg.substringPass) Seq("ss_keys") else Nil)
+    val repSlim = reps
+      .select(("url" +: (bandCols ++ Seq("text_len", "size"))).map(col): _*)
+      .join(dict, "url")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // the band relation feeds the key-count pass, both sides of the light
     // self-join and both sides of the heavy triangle join — cache it once
     // rather than re-exploding 6x (LRU eviction reclaims it under pressure)
-    val bnds = bands(reps, cfg)
+    val bnds = bands(repSlim, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the cache BEFORE its three join consumers: AQE runs their
     // query stages as concurrent jobs, and concurrent first-touch of an
     // unpopulated cache races — each job recomputes the full band explode
     // (and the fingerprint pipeline under it). One narrow count populates
-    // sigs/reps/bnds exactly once; every consumer then reads cached blocks.
+    // sigs/reps/repSlim/bnds exactly once; every consumer then reads cached
+    // blocks.
     bnds.count()
+    sortedUrls.unpersist(blocking = false)
 
     // heavy-key detection, sampled by default: a full groupBy-count of the
     // band relation costs one more full shuffle; sampling finds every key
@@ -135,8 +184,9 @@ object Candidates {
     // classifies a different borderline-heavy set under every partitioning,
     // which made matched_pairs differ between local[4] and local[16] on the
     // same input (round-3 verdict #2). A content-hash sample admits exactly
-    // the same rows regardless of partitioning or task order, so the pairs
-    // TABLE (not just the clusters) is partition-invariant — SURVEY §5.7.
+    // the same rows regardless of partitioning or task order (ids are
+    // themselves a pure function of the url set), so the pairs TABLE (not
+    // just the clusters) is partition-invariant — SURVEY §5.7.
     val heavyKeys = {
       val frac = cfg.heavyDetectSampleFrac
       if (frac <= 0)
@@ -147,7 +197,7 @@ object Candidates {
         val m = 1L << 20
         val cut = math.max(1L, math.round(m * frac))
         bnds.filter(
-          pmod(xxhash64(col("band_id"), col("key"), col("url"), lit(cfg.seed)), lit(m)) < cut)
+          pmod(xxhash64(col("band_id"), col("key"), col("id"), lit(cfg.seed)), lit(m)) < cut)
           .groupBy("band_id", "key").count()
           .filter(col("count") > cfg.heavyBandKeyCap * (cut.toDouble / m) / 2)
           .select("band_id", "key")
@@ -155,11 +205,11 @@ object Candidates {
     }
 
     val light = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
-    val la = light.withColumnRenamed("url", "url_a")
-    val lb = light.withColumnRenamed("url", "url_b")
+    val la = light.withColumnRenamed("id", "id_a")
+    val lb = light.withColumnRenamed("id", "id_b")
     val lightPairs = la.join(lb, Seq("band_id", "key"))
-      .filter(col("url_a") < col("url_b"))
-      .select(col("url_a"), col("url_b"), col("band_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("band_id"))
 
     val heavyRows = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
     val heavyPairs =
@@ -185,62 +235,68 @@ object Candidates {
         //    (bucket, url) order rather than global url order.
         val s = cfg.saltBuckets
         val hubs = heavyRows.groupBy("band_id", "key")
-          .agg(min(col("url")).as("hub_url"))
+          .agg(min(col("id")).as("hub_id"))
         // one row per heavy key — broadcast explicitly so Catalyst can never
         // pick a sort-merge join that re-shuffles the whole heavy group into
         // one task per key (the exact straggler this path exists to avoid)
         val hubLinks = heavyRows.join(broadcast(hubs), Seq("band_id", "key"))
-          .filter(col("url") =!= col("hub_url"))
-          .select(col("hub_url").as("url_a"), col("url").as("url_b"), col("band_id"))
+          .filter(col("id") =!= col("hub_id"))
+          .select(col("hub_id").as("id_a"), col("id").as("id_b"), col("band_id"))
 
         val bucketed = heavyRows
-          .withColumn("bucket", pmod(xxhash64(col("url")), lit(s)).cast("int"))
+          .withColumn("bucket", pmod(xxhash64(col("id")), lit(s)).cast("int"))
         val wb = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_id"), col("key"), col("bucket")).orderBy(col("url"))
+          .partitionBy(col("band_id"), col("key"), col("bucket")).orderBy(col("id"))
         val inBucket = bucketed
-          .withColumn("prev", lag(col("url"), 1).over(wb))
+          .withColumn("prev", lag(col("id"), 1).over(wb))
           .filter(col("prev").isNotNull)
-          .select(col("prev").as("url_a"), col("url").as("url_b"), col("band_id"))
+          .select(col("prev").as("id_a"), col("id").as("id_b"), col("band_id"))
         val bounds = bucketed.groupBy("band_id", "key", "bucket")
-          .agg(min(col("url")).as("first_url"), max(col("url")).as("last_url"))
+          .agg(min(col("id")).as("first_id"), max(col("id")).as("last_id"))
         val wg = org.apache.spark.sql.expressions.Window
           .partitionBy(col("band_id"), col("key")).orderBy(col("bucket"))
         val boundary = bounds
-          .withColumn("prev_last", lag(col("last_url"), 1).over(wg))
+          .withColumn("prev_last", lag(col("last_id"), 1).over(wg))
           .filter(col("prev_last").isNotNull)
-          .select(least(col("prev_last"), col("first_url")).as("url_a"),
-            greatest(col("prev_last"), col("first_url")).as("url_b"), col("band_id"))
-          .filter(col("url_a") =!= col("url_b"))
+          .select(least(col("prev_last"), col("first_id")).as("id_a"),
+            greatest(col("prev_last"), col("first_id")).as("id_b"), col("band_id"))
+          .filter(col("id_a") =!= col("id_b"))
         hubLinks.unionByName(inBucket).unionByName(boundary)
       } else {
         // salted triangle self-join (theta-join partitioning over buckets)
         val s = cfg.saltBuckets
         val heavy = heavyRows
-          .withColumn("bucket", pmod(xxhash64(col("url")), lit(s)).cast("int"))
+          .withColumn("bucket", pmod(xxhash64(col("id")), lit(s)).cast("int"))
           .withColumn("r", explode(array((0 until s).map(lit): _*)))
           .withColumn("bi", least(col("bucket"), col("r")))
           .withColumn("bj", greatest(col("bucket"), col("r")))
           .drop("r")
-        val ha = heavy.withColumnsRenamed(Map("url" -> "url_a", "bucket" -> "bucket_a"))
-        val hb = heavy.withColumnsRenamed(Map("url" -> "url_b", "bucket" -> "bucket_b"))
+        val ha = heavy.withColumnsRenamed(Map("id" -> "id_a", "bucket" -> "bucket_a"))
+        val hb = heavy.withColumnsRenamed(Map("id" -> "id_b", "bucket" -> "bucket_b"))
         ha.join(hb, Seq("band_id", "key", "bi", "bj"))
-          .filter(col("url_a") < col("url_b"))
+          .filter(col("id_a") < col("id_b"))
           .filter(col("bi") === col("bj") || col("bucket_a") =!= col("bucket_b"))
-          .select(col("url_a"), col("url_b"), col("band_id"))
+          .select(col("id_a"), col("id_b"), col("band_id"))
       }
 
     // J3 pair dedup (a pair can collide in several bands); remember whether
-    // any colliding band was the sampled-shingle family (substring gate)
+    // any colliding band was the sampled-shingle family (substring gate).
+    // Keys are two longs — the dedup shuffle hashes/compares 16 bytes, not
+    // two url strings.
     val dedup = lightPairs.unionByName(heavyPairs)
       .withColumn("from_ss", col("band_id") >= 1000)
-      .groupBy("url_a", "url_b")
+      .groupBy("id_a", "id_b")
       .agg(max(col("from_ss")).as("from_ss"))
 
-    // payload join-back at pair volume (Catalyst picks broadcast vs SMJ)
-    val slim = reps.select(col("url"), col("simhash_head"), col("simhash_tail"),
-      col("text_len"), col("size"))
+    // payload join-back at pair volume (Catalyst picks broadcast vs SMJ):
+    // urls re-enter here. Order isomorphism of the dictionary guarantees
+    // id_a < id_b implies url_a < url_b — the pair orientation contract is
+    // unchanged. id_a/id_b stay on the pairs table for the union-find
+    // (Clusters.assignByIds), which then also shuffles longs.
+    val slim = repSlim.select(col("id"), col("url"), col("simhash_head"),
+      col("simhash_tail"), col("text_len"), col("size"))
     val slimA = slim.toDF(slim.columns.map(_ + "_a").toIndexedSeq: _*)
     val slimB = slim.toDF(slim.columns.map(_ + "_b").toIndexedSeq: _*)
-    dedup.join(slimA, "url_a").join(slimB, "url_b")
+    dedup.join(slimA, "id_a").join(slimB, "id_b")
   }
 }

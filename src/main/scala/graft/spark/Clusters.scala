@@ -43,21 +43,30 @@ object Clusters {
     e1.union(e2).filter(col("u") =!= col("v")).distinct()
   }
 
+  private def isStringNodes(edges: DataFrame): Boolean =
+    edges.schema("u").dataType == org.apache.spark.sql.types.StringType
+
   private def signature(edges: DataFrame): (Long, Long, Long) = {
     // hashes folded mod p so the ANSI-mode sum cannot overflow Long; the
-    // same one job also estimates the edge-list string payload so the
-    // local-finish gate is a BYTE budget, not a row count (url lengths make
-    // row counts a wildly unreliable proxy for driver heap)
+    // same one job also estimates the edge-list payload so the local-finish
+    // gate is a BYTE budget, not a row count (url lengths make row counts a
+    // wildly unreliable proxy for driver heap). Long-keyed edges (dictionary
+    // ids, Candidates.dictionary) cost a flat 16 bytes/row.
+    val byteCol =
+      if (isStringNodes(edges)) length(col("u")) + length(col("v"))
+      else lit(16)
     val row = edges.agg(
       count(lit(1)).as("c"),
       coalesce(sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L))), lit(0L)).as("h"),
-      coalesce(sum(length(col("u")) + length(col("v"))), lit(0L)).as("b")).head()
+      coalesce(sum(byteCol), lit(0L)).as("b")).head()
     (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
-  /** Connected components of an undirected edge list (columns u, v).
-    * Returns (url, cluster_id) for every node that appears in an edge;
-    * callers add singletons.
+  /** Connected components of an undirected edge list (columns u, v; node
+    * type string url OR long dictionary id — the long path keeps every star
+    * round's shuffle at 16 bytes/edge). Returns (url, cluster_id) for every
+    * node that appears in an edge (column names are historical; the values
+    * are whatever node type came in); callers add singletons.
     *
     * Hybrid execution: star rounds run distributed while the edge set is
     * large; once it fits comfortably on the driver (`localFinishEdges`,
@@ -73,18 +82,28 @@ object Clusters {
                           localFinishBytes: Long = 256L << 20): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    val stringNodes = isStringNodes(pairs)
     def fitsLocal(cnt: Long, bytes: Long): Boolean =
       cnt <= localFinishEdges && bytes <= localFinishBytes
 
     def localFinish(e: DataFrame): DataFrame = {
-      val uf = new graft.core.UnionFind[String]
-      val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
-      // one collect job (bounded by localFinishEdges ~ 200 MB of urls), not
-      // toLocalIterator's job-per-partition driver fan-out
-      e.select(col("u"), col("v")).as[(String, String)].collect()
-        .foreach { case (u, v) => uf.union(u, v); nodes += u; nodes += v }
-      uf.components(nodes).toSeq.toDF("url", "cluster_id")
-        .groupBy("url").agg(min("cluster_id").as("cluster_id"))
+      // one collect job (bounded by the byte budget), not toLocalIterator's
+      // job-per-partition driver fan-out
+      val labeled =
+        if (stringNodes) {
+          val uf = new graft.core.UnionFind[String]
+          val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
+          e.select(col("u"), col("v")).as[(String, String)].collect()
+            .foreach { case (u, v) => uf.union(u, v); nodes += u; nodes += v }
+          uf.components(nodes).toSeq.toDF("url", "cluster_id")
+        } else {
+          val uf = new graft.core.UnionFind[Long]
+          val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+          e.select(col("u"), col("v")).as[(Long, Long)].collect()
+            .foreach { case (u, v) => uf.union(u, v); nodes += u; nodes += v }
+          uf.components(nodes).toSeq.toDF("url", "cluster_id")
+        }
+      labeled.groupBy("url").agg(min("cluster_id").as("cluster_id"))
     }
 
     // EAGER checkpoints are load-bearing: AQE materializes query stages
@@ -96,7 +115,10 @@ object Clusters {
     var edges = pairs.select(col("u"), col("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var (cnt, sig, bytes) = signature(edges)
-    if (cnt == 0) return Seq.empty[(String, String)].toDF("url", "cluster_id")
+    if (cnt == 0) return {
+      if (stringNodes) Seq.empty[(String, String)].toDF("url", "cluster_id")
+      else Seq.empty[(Long, Long)].toDF("url", "cluster_id")
+    }
     if (fitsLocal(cnt, bytes)) return localFinish(edges)
 
     var rounds = 0
@@ -121,6 +143,32 @@ object Clusters {
     val comp = connectedComponents(
       matchedPairs.select(col("url_a").as("u"), col("url_b").as("v")))
     validDocs.join(comp, Seq("url"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("url")))
+  }
+
+  /** [[assign]] over pairs that carry dictionary ids (id_a/id_b alongside
+    * url_a/url_b — Candidates.candidatePairs): the union-find's iterative
+    * star rounds shuffle 8-byte longs instead of url strings, and the
+    * id->url mapping is recovered from the matched pair rows themselves (no
+    * extra dictionary join — every component node, including every root, is
+    * an endpoint of some matched edge). Order isomorphism of the dictionary
+    * (Candidates.dictionary) makes min-id roots map to min-url cluster ids,
+    * so the output is bit-identical to url-keyed [[assign]]. */
+  def assignByIds(validDocs: DataFrame, matchedPairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(
+      matchedPairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .toDF("nid", "root_id")
+    // node-volume mapping (distinct endpoints of matched edges); the min agg
+    // is just dedup — id<->url is 1:1
+    val nodeMap = matchedPairs.select(col("id_a").as("nid"), col("url_a").as("node_url"))
+      .unionByName(matchedPairs.select(col("id_b").as("nid"), col("url_b").as("node_url")))
+      .groupBy("nid").agg(min("node_url").as("node_url"))
+    val compU = comp
+      .join(nodeMap, "nid")
+      .join(nodeMap.select(col("nid").as("root_id"), col("node_url").as("cluster_id")),
+        "root_id")
+      .select(col("node_url").as("url"), col("cluster_id"))
+    validDocs.join(compU, Seq("url"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("url")))
   }
 

@@ -198,7 +198,8 @@ object Pipeline {
     * keeper election. */
   private def clusterStage(ps: PairStage, persistLevel: StorageLevel): DataFrame = {
     val matched = ps.pairs.filter(col("matched"))
-    val repClusters = Clusters.assign(ps.reps.select("url"), matched)
+    // pairs carry dictionary ids: the union-find rounds shuffle longs
+    val repClusters = Clusters.assignByIds(ps.reps.select("url"), matched)
     val memberClusters = ps.members
       .join(repClusters.withColumnRenamed("url", "rep_url"), "rep_url")
       .select(col("url"), col("cluster_id"))
