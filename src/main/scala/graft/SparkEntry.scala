@@ -48,6 +48,20 @@ object SparkEntry {
     pipelineCache.getOrElseUpdate(d + "!exact",
       Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgExact))
 
+  /** The v=70 reverified pairs frame, computed once per scale dir and shared
+    * by q_rethreshold_exact_low and the wt_pairs_exact_low aux export — the
+    * [45,57) never-verified-stratum Jaccard join is the expensive half of the
+    * low-slider path and used to run twice (round-4 ADVICE #4). */
+  private val reverifyLowCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def reverifiedLowFor(s: SparkSession, d: String): DataFrame =
+    reverifyLowCache.getOrElseUpdate(d + "!exactlow", {
+      val res = pipelineExactFor(s, d)
+      graft.spark.Pairs.reverify(res.pairs,
+          res.signatures.filter(col("reject_reason").isNull), cfgExact, newThreshold = 70)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Same corpus with the suffix-array substring pass on (SURVEY §2.8 V4) —
     * the oracle re-derives `matched` (simhash threshold OR verbatim-overlap
     * >= minSubstringOverlap) from exported raw measures; the LCS values
@@ -288,14 +302,11 @@ object SparkEntry {
     // verified; reverify re-runs ONLY the Jaccard join for that stratum
     // (comparison.cpp:478-491's live re-compare — the round-3 "what's
     // missing" #1, now complete slider parity)
-    "q_rethreshold_exact_low" -> ((s, d) => {
-      val res = pipelineExactFor(s, d)
-      graft.spark.Pairs.reverify(res.pairs,
-          res.signatures.filter(col("reject_reason").isNull), cfgExact, newThreshold = 70)
+    "q_rethreshold_exact_low" -> ((s, d) =>
+      reverifiedLowFor(s, d)
         .filter(col("matched"))
         .select(col("url_a"), col("url_b"), col("sim_bits").cast("long").as("sim_bits"))
-        .orderBy("url_a", "url_b")
-    })
+        .orderBy("url_a", "url_b"))
   )
 
   /** Aux inputs for the DuckDB oracles that check non-SQL operators: the
@@ -339,8 +350,7 @@ object SparkEntry {
     // reverified measures at the LOW slider value (v=70): the never-gated
     // stratum's (inter, union) are now filled in; the oracle re-derives the
     // decision at the new gate from the integers, never the matched flag
-    graft.spark.Pairs.reverify(resX.pairs,
-        resX.signatures.filter(col("reject_reason").isNull), cfgExact, newThreshold = 70)
+    reverifiedLowFor(spark, sfDir)
       .select(col("url_a"), col("url_b"),
         col("sim_bits").cast("long").as("sim_bits"),
         col("len_mod").cast("long").as("len_mod"),

@@ -49,13 +49,35 @@ object SuffixOverlap {
   def suffixArray(s: String): Array[Int] = {
     val n = s.length
     if (n == 0) return Array.emptyIntArray
+    // alphabet compaction: map chars to dense ranks via a sorted copy, so the
+    // counting passes scan O(n) buckets instead of a fixed 65536-bucket char
+    // keyspace — this kernel runs once per candidate pair, and for short
+    // strings the flat 256 KB zero-fill + full-keyspace scan dominated
+    // (round-4 ADVICE #2)
+    val chars = s.toCharArray
+    val sorted = chars.clone()
+    java.util.Arrays.sort(sorted)
+    val uniq = new Array[Char](n)
+    var distinct = 0
+    var i = 0
+    while (i < n) {
+      if (distinct == 0 || sorted(i) != uniq(distinct - 1)) {
+        uniq(distinct) = sorted(i); distinct += 1
+      }
+      i += 1
+    }
     var sa = Array.tabulate(n)(identity)
     var tmp = new Array[Int](n)
-    var rank = Array.tabulate(n)(i => s.charAt(i).toInt)
+    var rank = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      rank(i) = java.util.Arrays.binarySearch(uniq, 0, distinct, chars(i))
+      i += 1
+    }
     var rank2 = new Array[Int](n)
-    // bucket array sized for the larger of the initial char keyspace and the
-    // rank keyspace (ranks < n); +2 for the shifted "out of range" key 0
-    val cnt = new Array[Int](math.max(65536, n) + 2)
+    // bucket array sized for the rank keyspace (dense char ranks and all
+    // doubling-round ranks are < n); +2 for the shifted "out of range" key 0
+    val cnt = new Array[Int](n + 2)
 
     /** Stable counting sort of `src` into `dst` by key rank(i+k)+1 (0 when
       * i+k is out of range); maxKey bounds the occupied key range. */
@@ -81,20 +103,11 @@ object SuffixOverlap {
       }
     }
 
-    var maxRank = 65535
-    // initial order: sort by first char (k=0 pass)
+    // initial order: sort by first char (k=0 pass); ranks are already dense
+    // from the alphabet compaction, so no re-rank is needed
+    var maxRank = distinct - 1
     pass(sa, tmp, 0, maxRank)
     var t = sa; sa = tmp; tmp = t
-    // dense initial ranks
-    rank2(sa(0)) = 0
-    var i = 1
-    while (i < n) {
-      rank2(sa(i)) = rank2(sa(i - 1)) +
-        (if (s.charAt(sa(i)) != s.charAt(sa(i - 1))) 1 else 0)
-      i += 1
-    }
-    t = rank; rank = rank2; rank2 = t
-    maxRank = rank(sa(n - 1))
 
     var k = 1
     while (k < n && maxRank < n - 1) {

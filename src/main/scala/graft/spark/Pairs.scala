@@ -129,8 +129,14 @@ object Pairs {
       when(cnt.getField("_2") > 0,
         cnt.getField("_1").cast("double") / cnt.getField("_2")).otherwise(lit(0.0))
 
+    // LEFT joins: a gated pair whose url is absent from `signatures` (e.g. a
+    // reverify caller passing a narrower signature set) is RETAINED with
+    // jaccard 0.0 / matched=false (jaccardCounts maps null shingle arrays to
+    // (0, 0)) — an inner join would silently drop the pair row from the
+    // returned table (round-4 ADVICE #3). exactVerify's own calls always
+    // cover every url, so this is behavior-neutral on the pipeline path.
     gated
-      .join(shA, "url_a").join(shB, "url_b")
+      .join(shA, Seq("url_a"), "left").join(shB, Seq("url_b"), "left")
       .withColumn("cnt_head", countsUdf(col("sh_head_a"), col("sh_head_b")))
       .withColumn("cnt_tail",
         if (cfg.cutEnds) countsUdf(col("sh_tail_a"), col("sh_tail_b"))
