@@ -80,6 +80,14 @@ object SparkEntry {
     pipelineCache.getOrElseUpdate(d + "!grid",
       Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgGrid))
 
+  /** The WIDEST grid mode (4x3 — 12 windows, thumbnail.h:20-26): stresses the
+    * window-union dedup at the mode family's extreme; same oracle shape as
+    * 2x2 (fingerprint-only decision re-derived from exported raw measures). */
+  private val cfgGrid43 = cfg.copy(samplingMode = "4x3")
+  private def pipelineGrid43For(s: SparkSession, d: String): Pipeline.Result =
+    pipelineCache.getOrElseUpdate(d + "!grid43",
+      Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgGrid43))
+
   /** Flagship query (driver smoke-checks rows > 0): end-to-end near-dup
     * pipeline on the deterministic synthetic corpus, reporting the top
     * duplicate clusters by reclaimable bytes. */
@@ -272,6 +280,11 @@ object SparkEntry {
     "q_webtext_grid" -> ((s, d) =>
       pipelineGridFor(s, d).clusters
         .select("url", "cluster_id", "is_keeper").orderBy("url")),
+    // widest grid mode (4x3, 12 windows): same decision rule, maximum
+    // window-union overlap in the sampled token stream
+    "q_webtext_grid43" -> ((s, d) =>
+      pipelineGrid43For(s, d).clusters
+        .select("url", "cluster_id", "is_keeper").orderBy("url")),
     "q_webtext_top_reclaimable" -> ((s, d) =>
       Clusters.topClustersByReclaimable(pipelineFor(s, d).clusters, 20)
         .select(col("cluster_id"), col("n_docs"),
@@ -370,6 +383,12 @@ object SparkEntry {
       col("sim_bits").cast("long").as("sim_bits"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_grid")
     exportSigs(resG, "wt_sigs_grid")
+    // widest grid mode (4x3) raw measures
+    val resG43 = pipelineGrid43For(spark, sfDir)
+    resG43.pairs.select(col("url_a"), col("url_b"),
+      col("sim_bits").cast("long").as("sim_bits"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_grid43")
+    exportSigs(resG43, "wt_sigs_grid43")
     DedupOps.simhashes(t(spark, sfDir, "documents"), k = 3, cfg)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/doc_simhashes")
     // minhash signatures + band keys: the hash chains are the only non-SQL
@@ -445,6 +464,12 @@ object SparkEntry {
     s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs_grid/*.parquet')
        | WHERE sim_bits >= ${cfgGrid.simBitsThreshold}""".stripMargin,
     sigsTable = "wt_sigs_grid")
+
+  /** 4x3 grid-mode edges: same single-slot fingerprint decision. */
+  private val wtGrid43Cte: String = wtCteWith(
+    s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs_grid43/*.parquet')
+       | WHERE sim_bits >= ${cfgGrid43.simBitsThreshold}""".stripMargin,
+    sigsTable = "wt_sigs_grid43")
 
   /** DuckDB equivalents for the SQL-expressible queries. Column names, order,
     * and types are aligned with the Spark side (aggregates cast to BIGINT;
@@ -702,6 +727,10 @@ object SparkEntry {
 
     "q_webtext_grid" ->
       (wtGridCte +
+        """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
+
+    "q_webtext_grid43" ->
+      (wtGrid43Cte +
         """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
 
     "q_webtext_actions" ->

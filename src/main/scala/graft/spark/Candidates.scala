@@ -136,7 +136,8 @@ object Candidates {
     * north-rule "salted keys for skewed buckets". AQE skew-join remains on as
     * backstop for moderately hot keys.
     */
-  def candidatePairs(reps: DataFrame, cfg: GraftConfig): DataFrame = {
+  def candidatePairs(reps: DataFrame, cfg: GraftConfig,
+                     newUrls: Option[DataFrame] = None): DataFrame = {
     // dictionary-encode urls to dense order-preserving longs for the whole
     // candidate layer: every shuffle from here to pair join-back carries an
     // 8-byte id instead of the url string (the largest measured bandwidth
@@ -205,14 +206,11 @@ object Candidates {
     }
 
     val light = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
-    val la = light.withColumnRenamed("id", "id_a")
-    val lb = light.withColumnRenamed("id", "id_b")
-    val lightPairs = la.join(lb, Seq("band_id", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("band_id"))
 
-    val heavyRows = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
-    val heavyPairs =
+    /** Heavy-group pair generation over a (already heavy-key-restricted) band
+      * relation — shared by the full self-join path and the incremental delta
+      * path (which restricts it further to keys touched by the increment). */
+    def heavyPairGen(heavyRows: DataFrame): DataFrame =
       if (cfg.heavyKeyStar) {
         // STAR + PATH generation, O(n) per heavy group: every row links to
         // the group's min-url hub, and to a path neighbor. The path links
@@ -279,11 +277,67 @@ object Candidates {
           .select(col("id_a"), col("id_b"), col("band_id"))
       }
 
+    val rawPairs = newUrls match {
+      case None =>
+        // full self-join (the one-shot path — unchanged)
+        val la = light.withColumnRenamed("id", "id_a")
+        val lb = light.withColumnRenamed("id", "id_b")
+        val lightPairs = la.join(lb, Seq("band_id", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("band_id"))
+        val heavyRows = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
+        lightPairs.unionByName(heavyPairGen(heavyRows))
+
+      case Some(nu) =>
+        // INCREMENTAL delta: only pairs with >= 1 endpoint in `nu` (new or
+        // changed reps). The light family becomes a new-side x all-side join
+        // — when the increment is small Catalyst broadcasts the new side, so
+        // NO full-corpus shuffle happens at all (the 10^12-doc resume story:
+        // candidate work scales with the increment, not the corpus). Old-old
+        // pairs are excluded by construction; the caller supplies them from
+        // the previous run's persisted pairs table (Pipeline.runIncremental
+        // keeps them — candidate generation over unchanged reps is a pure
+        // function of the rep set, so those rows cannot have changed).
+        val newIds = dict.join(nu.select("url"), Seq("url"), "left_semi")
+          .select("id")
+        val bndsNew = bnds.join(newIds, Seq("id"), "left_semi")
+        val lightNew = bndsNew.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
+        val lightDelta = light.withColumnRenamed("id", "id_x")
+          .join(lightNew.withColumnRenamed("id", "id_y"), Seq("band_id", "key"))
+          .filter(col("id_x") =!= col("id_y"))
+          .select(least(col("id_x"), col("id_y")).as("id_a"),
+            greatest(col("id_x"), col("id_y")).as("id_b"), col("band_id"))
+
+        // heavy keys touched by the increment regenerate their FULL group
+        // topology (so the configured routing — star paths or triangle — sees
+        // the same group it would see one-shot), then keep only pairs with a
+        // new endpoint. Touched heavy keys are few (heavyKeys is broadcast
+        // volume by construction), so the over-generation is bounded by the
+        // one-shot heavy work on those keys. NOTE: under heavyKeyStar the
+        // star/path TOPOLOGY over a grown group differs from the previous
+        // run's over the old group, so pair-TABLE parity with a fresh
+        // one-shot holds for the salted-triangle routing (all in-group
+        // pairs, incremental-stable); star mode keeps the previous run's
+        // old-old links — extra conservative edges inside a near-identical
+        // group, cluster-equivalent in all but adversarial cases.
+        val touchedHeavy = heavyKeys
+          .join(bndsNew.select("band_id", "key").distinct(), Seq("band_id", "key"), "left_semi")
+        val heavyRows = bnds.join(broadcast(touchedHeavy), Seq("band_id", "key"), "left_semi")
+        val na = newIds.select(col("id").as("id_a"), lit(true).as("__na"))
+        val nb = newIds.select(col("id").as("id_b"), lit(true).as("__nb"))
+        val heavyDelta = heavyPairGen(heavyRows)
+          .join(broadcast(na), Seq("id_a"), "left")
+          .join(broadcast(nb), Seq("id_b"), "left")
+          .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
+          .drop("__na", "__nb")
+        lightDelta.unionByName(heavyDelta)
+    }
+
     // J3 pair dedup (a pair can collide in several bands); remember whether
     // any colliding band was the sampled-shingle family (substring gate).
     // Keys are two longs — the dedup shuffle hashes/compares 16 bytes, not
     // two url strings.
-    val dedup = lightPairs.unionByName(heavyPairs)
+    val dedup = rawPairs
       .withColumn("from_ss", col("band_id") >= 1000)
       .groupBy("id_a", "id_b")
       .agg(max(col("from_ss")).as("from_ss"))

@@ -172,6 +172,85 @@ object Clusters {
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("url")))
   }
 
+  /** Result of [[spliceAssign]]: the new rep-level assignment plus the scale
+    * evidence — how many edges the union-find actually saw (bounded by the
+    * affected components + the delta, NOT the corpus) and how many previous
+    * clusters were touched. */
+  final case class Splice(assign: DataFrame, reclusterEdges: Long,
+                          affectedClusters: Long, untouchedClusters: Long)
+
+  /** Incremental re-cluster scoped to AFFECTED components (SURVEY §2.10;
+    * reference analog: the re-run skip memoization, mainwindow.cpp:153-154 —
+    * don't redo unaffected work). An increment contributes delta matched
+    * pairs and invalidates stale reps; only components touched by either are
+    * re-solved:
+    *
+    *   affected roots   = prev cluster_ids of delta-pair endpoints and stale
+    *                      urls (components can MERGE via a delta edge, SPLIT
+    *                      via a stale member's removal, or absorb new reps);
+    *   subgraph         = prev matched edges inside affected components
+    *                      (minus edges touching stale urls) + delta edges;
+    *   splice           = untouched prev assignments pass through verbatim,
+    *                      the subgraph re-runs [[connectedComponents]].
+    *
+    * Untouched components have no delta edges and no stale members, so their
+    * one-shot solution is their previous solution — the splice is EXACTLY the
+    * one-shot assignment while the union-find input is bounded by the
+    * affected subgraph. cluster_id stays component-min-url (C2).
+    *
+    * @param allReps      current full rep set (url column) — assignment covers
+    *                     every row; reps in no edge become singletons
+    * @param prevAssign   previous rep-level (url, cluster_id)
+    * @param prevMatched  previous matched pairs (url_a, url_b) — BEFORE stale
+    *                     filtering; stale-touching edges are dropped here
+    * @param deltaMatched matched pairs of the increment (>= 1 new endpoint)
+    * @param staleUrls    urls whose previous rows are invalid (removed reps,
+    *                     re-crawled/changed content, demoted reps)
+    */
+  def spliceAssign(allReps: DataFrame, prevAssign: DataFrame,
+                   prevMatched: DataFrame, deltaMatched: DataFrame,
+                   staleUrls: DataFrame): Splice = {
+    val stale = staleUrls.select(col("url")).distinct()
+    val keptPrev = prevMatched.select(col("url_a"), col("url_b"))
+      .join(stale.select(col("url").as("url_a")), Seq("url_a"), "left_anti")
+      .join(stale.select(col("url").as("url_b")), Seq("url_b"), "left_anti")
+
+    // roots touched by the increment: prev clusters of delta endpoints and of
+    // stale urls. Delta endpoints with no prev assignment are brand-new reps
+    // — they have no prev cluster to pull in (they only add subgraph nodes).
+    val touchedUrls = deltaMatched.select(col("url_a").as("url"))
+      .unionByName(deltaMatched.select(col("url_b").as("url")))
+      .unionByName(stale).distinct()
+    val affectedRoots = prevAssign.join(touchedUrls, Seq("url"), "left_semi")
+      .select(col("cluster_id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val affectedMembers = prevAssign
+      .join(affectedRoots, Seq("cluster_id"), "left_semi")
+    // prev edges live entirely inside one component, so one endpoint decides
+    val subEdges = keptPrev
+      .join(affectedMembers.select(col("url").as("url_a")), Seq("url_a"), "left_semi")
+      .unionByName(deltaMatched.select(col("url_a"), col("url_b")))
+      .select(col("url_a").as("u"), col("url_b").as("v"))
+    val comp = connectedComponents(subEdges)
+
+    val untouched = prevAssign.join(affectedRoots, Seq("cluster_id"), "left_anti")
+      .select(col("url"), col("cluster_id"))
+    val assign = allReps.select(col("url"))
+      .join(untouched.unionByName(comp.select(col("url"), col("cluster_id"))),
+        Seq("url"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("url")))
+
+    // scale evidence (cheap: subEdges was just materialized inside
+    // connectedComponents' signature job; these two aggregates run at
+    // affected volume)
+    val nEdges = subEdges.count()
+    val nAffected = affectedRoots.count()
+    val nUntouched = untouched.select("cluster_id").distinct().count()
+    affectedRoots.unpersist(blocking = false)
+    Splice(assign, nEdges, nAffected, nUntouched)
+  }
+
   /** Keeper election (SURVEY §2.5 W1): the reference highlights the "better"
     * video per pair — bigger size, longer duration, newer, as keep-worthy
     * (comparison.cpp:266-343). Per cluster: rank by size desc, text_len desc,

@@ -193,6 +193,19 @@ object Fingerprints {
         lit(cfg.configFp).as("config_fp"),
         col("fp.reject_reason"))
 
+  /** Persist/store projection per mode: in default (fingerprint-only) mode
+    * nothing downstream reads the shingle sketches or the substring sample
+    * keys — shingles_head/tail feed only the exact-verify Jaccard join
+    * (Pairs.verifyJoin) and ss_keys only the sampled-shingle band family
+    * (Candidates.bands) — so dropping them from the persisted/committed rows
+    * removes the dominant payload bytes (2x cap + sample longs per row) from
+    * the cache and the store write path of a bandwidth-bound workload.
+    * configFp already distinguishes modes, so stored schemas stay consistent
+    * per config. */
+  def pruneForMode(sigs: DataFrame, cfg: GraftConfig): DataFrame =
+    if (cfg.exactVerify || cfg.substringPass) sigs
+    else sigs.drop("shingles_head", "shingles_tail", "ss_keys")
+
   /** The typed-map variant of the fingerprint stage — the parity oracle for
     * the expression path (and a fallback if an environment rejects the
     * custom expression). */

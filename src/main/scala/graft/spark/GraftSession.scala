@@ -28,6 +28,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plan-description hygiene: deep incremental/iterative lineages can
+      // render multi-GB explain strings into listener events (default cap is
+      // ~2 GB) — a driver OOM from LOGGING. 1 MB is plenty for humans.
+      .config("spark.sql.maxPlanStringLength", (1 << 20).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -42,12 +42,14 @@ object Pipeline {
     val scanned = scan(pages, cfg)
     if (profile) {
       var t0 = System.nanoTime()
-      val sigs = Fingerprints.fromPages(scanned, cfg).toDF().persist(persistLevel)
+      val sigs = Fingerprints.pruneForMode(
+        Fingerprints.fromPages(scanned, cfg).toDF(), cfg).persist(persistLevel)
       val nSigs = sigs.count() // materialize: everything upstream is the fingerprint phase
       val tFingerprint = (System.nanoTime() - t0) / 1000000L
       downstreamProfiled(sigs, nSigs, tFingerprint, pages, cfg, persistLevel)
     } else {
-      val sigs = Fingerprints.fromPages(scanned, cfg).toDF().persist(persistLevel)
+      val sigs = Fingerprints.pruneForMode(
+        Fingerprints.fromPages(scanned, cfg).toDF(), cfg).persist(persistLevel)
       downstream(sigs, pages, cfg, persistLevel)
     }
   }
@@ -62,6 +64,134 @@ object Pipeline {
     val inc = Resume.incrementalFingerprints(scan(pages, cfg), store, cfg)
     val sigs = inc.signatures.persist(persistLevel)
     (downstream(sigs, pages, cfg, persistLevel), inc)
+  }
+
+  /** Carry-over state for [[runIncrementalScoped]]: the previous run's rep
+    * set (with content_id, for stale detection), its scored pairs table
+    * (WITHOUT the per-run dictionary ids — those are not stable across
+    * generations), and its rep-level cluster assignment.
+    *
+    * State frames are localCheckpoint'ed at hand-off: an increment chain
+    * otherwise stacks every previous generation's lineage into the current
+    * plan — plan size (and plan-STRING size in listener events) grows per
+    * increment until analysis itself becomes the bottleneck. Checkpointing
+    * makes each increment's plans O(this increment). On a real cluster the
+    * durable version of this hand-off is the store itself (write
+    * pairs/assign as tables, read them back next increment). */
+  final case class IncState(reps: DataFrame, pairs: DataFrame, repAssign: DataFrame)
+
+  /** Incremental entry SCOPED to the increment (SURVEY §2.10 "re-cluster
+    * affected components"; reference analog mainwindow.cpp:153-154 — skip
+    * unaffected work on re-runs). Unlike [[runIncremental]], which re-runs
+    * banding + scoring + union-find over the FULL live set every increment,
+    * this path:
+    *
+    *   - generates candidates only for pairs with >= 1 NEW/CHANGED endpoint
+    *     (Candidates.candidatePairs delta mode — a broadcastable new-side x
+    *     all-side band join, no full-corpus shuffle);
+    *   - keeps the previous pairs table verbatim for unchanged rep pairs
+    *     (candidate generation is a pure function of the rep set);
+    *   - re-runs the union-find ONLY over affected components + delta edges
+    *     (Clusters.spliceAssign) — at 10^12 docs with small daily appends the
+    *     re-cluster cost tracks the increment, not the corpus.
+    *
+    * The result is EXACTLY the one-shot assignment (see spliceAssign's
+    * correctness note; pair-table parity additionally requires the
+    * salted-triangle heavy routing — see candidatePairs' delta note).
+    * substringPass callers must pass `pages` spanning BOTH sides of possible
+    * pairs (the live page source), not just the increment batch.
+    *
+    * First call (prev = None) falls back to the full downstream and just
+    * builds the state. Returns (result, resume stats, state-for-next-call).
+    * Metrics gain recluster_edges / affected_clusters / untouched_clusters —
+    * the scale evidence that the union-find input is bounded by affected
+    * components. */
+  def runIncrementalScoped(pages: DataFrame, store: graft.store.IcebergShaped.Table,
+                           prev: Option[IncState],
+                           cfg: GraftConfig = GraftConfig(),
+                           persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
+      : (Result, Resume.IncrementalResult, IncState) = {
+    val inc = Resume.incrementalFingerprints(scan(pages, cfg), store, cfg)
+    val sigs = inc.signatures.persist(persistLevel)
+
+    val rejects = sigs.filter(col("reject_reason").isNotNull)
+      .select(col("url"), col("reject_reason").as("reason"))
+    val valid = sigs.filter(col("reject_reason").isNull)
+    val groups = valid.groupBy("text_md5").agg(min("url").as("rep_url"))
+    val members = valid.select(col("url"), col("text_md5"))
+      .join(groups, "text_md5")
+      .select(col("url"), col("rep_url"))
+      .persist(persistLevel)
+    val reps = valid.join(
+      groups.select(col("rep_url").as("url")), Seq("url"), "left_semi")
+      .persist(persistLevel)
+
+    prev match {
+      case None =>
+        val res = downstream(sigs, pages, cfg, persistLevel)
+        val state = IncState(reps.localCheckpoint(),
+          res.pairs.drop("id_a", "id_b").localCheckpoint(),
+          res.clusters.join(reps.select("url"), Seq("url"), "left_semi")
+            .select(col("url"), col("cluster_id")).localCheckpoint())
+        (res, inc, state)
+
+      case Some(st) =>
+        // new/changed vs stale reps by (url, content_id): a re-crawled url
+        // (new warc_ts -> new content_id) is BOTH stale (old pairs invalid)
+        // and new (delta candidates regenerate them); a demoted rep (its
+        // text group gained a smaller url) is stale only.
+        val repIdent = reps.select(col("url"), col("content_id"))
+        val prevIdent = st.reps.select(col("url"), col("content_id"))
+        val newUrls = repIdent.except(prevIdent).select("url").persist(persistLevel)
+        val staleUrls = prevIdent.except(repIdent).select("url").persist(persistLevel)
+
+        val cand = Candidates.candidatePairs(reps, cfg, Some(newUrls))
+        val scoredBase = Pairs.score(cand, cfg)
+        val scoredVerified =
+          if (cfg.exactVerify) Pairs.exactVerify(scoredBase, reps, cfg) else scoredBase
+        val delta =
+          (if (cfg.substringPass) Pairs.substringPass(scoredVerified, pages, cfg)
+           else scoredVerified).drop("id_a", "id_b").persist(persistLevel)
+
+        val keptPrev = st.pairs
+          .join(staleUrls.select(col("url").as("url_a")), Seq("url_a"), "left_anti")
+          .join(staleUrls.select(col("url").as("url_b")), Seq("url_b"), "left_anti")
+        val pairs = keptPrev.unionByName(delta.select(keptPrev.columns.map(col): _*))
+          .localCheckpoint()
+
+        val splice = Clusters.spliceAssign(reps.select("url"), st.repAssign,
+          st.pairs.filter(col("matched")), delta.filter(col("matched")), staleUrls)
+        val repAssign = splice.assign.localCheckpoint()
+        val memberClusters = members
+          .join(repAssign.withColumnRenamed("url", "rep_url"), "rep_url")
+          .select(col("url"), col("cluster_id"))
+        val clustered = memberClusters
+          .join(valid.select(col("url"), col("size"), col("text_len"), col("warc_ts")), "url")
+        val clusters = Clusters.electKeepers(clustered).persist(persistLevel)
+        clusters.count()
+
+        val spark = sigs.sparkSession
+        import spark.implicits._
+        val metrics =
+          kvMetrics(sigs.agg(
+            count(lit(1)).as("signatures"),
+            coalesce(sum(when(col("reject_reason").isNotNull, 1L)), lit(0L)).as("rejected"),
+            coalesce(sum(when(!col("extract_ok"), 1L)), lit(0L)).as("extract_mismatches")))
+            .unionByName(kvMetrics(reps.agg(count(lit(1)).as("exact_groups"))))
+            .unionByName(kvMetrics(pairs.agg(
+              count(lit(1)).as("candidate_pairs"),
+              coalesce(sum(when(col("matched"), 1L)), lit(0L)).as("matched_pairs"))))
+            .unionByName(kvMetrics(clusters.groupBy("cluster_id").count().agg(
+              coalesce(sum(when(col("count") > 1, 1L)), lit(0L)).as("dup_clusters"),
+              coalesce(sum(when(col("count") > 1, col("count"))), lit(0L)).as("docs_in_dup_clusters"))))
+            .unionByName(Seq(
+              ("recluster_edges", splice.reclusterEdges),
+              ("affected_clusters", splice.affectedClusters),
+              ("untouched_clusters", splice.untouchedClusters)).toDF("metric", "value"))
+
+        val res = Result(sigs, rejects, pairs, clusters, metrics)
+        (res, inc, IncState(reps.localCheckpoint(), pairs, repAssign))
+    }
   }
 
   /** S2 analog (extension filter): lang predicate on the scan — pushed to

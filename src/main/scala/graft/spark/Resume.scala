@@ -57,7 +57,10 @@ object Resume {
         withId.join(existing, Seq("content_id"), "left_anti")
       }
 
-    val newSigs = Fingerprints.fromPages(todo.drop("content_id"), cfg).toDF()
+    // default-mode commits drop the dead-weight shingle/sample arrays —
+    // config_fp keys the store, so each config's snapshots stay schema-stable
+    val newSigs = Fingerprints.pruneForMode(
+      Fingerprints.fromPages(todo.drop("content_id"), cfg).toDF(), cfg)
     val newCount =
       if (firstRun) store.commit(newSigs, cfg.configFp, "overwrite").addedRows
       else if (!todo.isEmpty) store.commit(newSigs, cfg.configFp, "append").addedRows

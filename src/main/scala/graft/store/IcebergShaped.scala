@@ -109,14 +109,56 @@ object IcebergShaped {
         graft.core.XXH64.hashString(s"$root#$version", 42L)) | 1L
       val dataDir = Paths.get(root, "data", s"snap-$snapshotId")
 
-      df.write.mode(SaveMode.Overwrite).partitionBy("part_id")
+      // Per-partition row counts come from TASK-COMMIT MESSAGES, not a
+      // driver-side re-read of the written data (the Iceberg DataWriter
+      // commit-message shape): each write task counts (part_id -> rows) as
+      // the writer consumes its iterator and reports on exhaustion via an
+      // accumulator — accumulator updates ride the task-completion RPC, i.e.
+      // the task's commit message. A failed/killed attempt never exhausts its
+      // iterator (no report); a speculative duplicate reports identical
+      // counts and is deduped by task partition id below. One pass over the
+      // data total — the old path scanned everything a second time just to
+      // rebuild counts the tasks already knew.
+      val spark = df.sparkSession
+      val reports = spark.sparkContext
+        .collectionAccumulator[(Int, Int, Long)]("graft.commit.taskReports")
+      val partIdIdx = df.schema.fieldIndex("part_id")
+      val counted = df.mapPartitions { it =>
+        val taskPart = org.apache.spark.TaskContext.getPartitionId()
+        val local = scala.collection.mutable.HashMap.empty[Int, Long]
+        var reported = false
+        new Iterator[org.apache.spark.sql.Row] {
+          def hasNext: Boolean = {
+            val h = it.hasNext
+            if (!h && !reported) {
+              reported = true
+              local.foreach { case (p, n) => reports.add((taskPart, p, n)) }
+            }
+            h
+          }
+          def next(): org.apache.spark.sql.Row = {
+            val r = it.next()
+            val p = r.getInt(partIdIdx)
+            local.update(p, local.getOrElse(p, 0L) + 1L)
+            r
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(df.schema))
+
+      counted.write.mode(SaveMode.Overwrite).partitionBy("part_id")
         .parquet(dataDir.toString)
 
-      // enumerate written files + per-partition rows (from the files themselves)
-      val spark = df.sparkSession
-      val written = spark.read.parquet(dataDir.toString)
-      val counts = written.groupBy("part_id").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val counts: Map[Int, Long] = {
+        import scala.jdk.CollectionConverters._
+        reports.value.asScala
+          .groupBy(t => (t._1, t._2)).map(_._2.head) // dedupe retried attempts
+          .groupBy(_._2).map { case (p, ts) => p -> ts.map(_._3).sum }
+      }
+      // manifest file entries: one shallow metadata listing for the committed
+      // part_id=N paths (the committer names them); rows come from the task
+      // reports above. A real Iceberg catalog gets paths AND counts from the
+      // DataWriter commit messages — this is that seam minus the renamed
+      // paths, with zero data re-read either way.
       val files: List[FileEntry] = {
         val dirStream = Files.list(dataDir)
         try {

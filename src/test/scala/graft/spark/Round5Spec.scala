@@ -1,0 +1,101 @@
+package graft.spark
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.GraftConfig
+import graft.data.{CorpusSpark, Render}
+import graft.store.IcebergShaped
+
+/** Incremental re-cluster SCOPED to affected components (SURVEY §2.10;
+  * round-4 verdict "what's missing" #3): Pipeline.runIncrementalScoped must
+  * produce the EXACT one-shot pairs table and cluster assignment while its
+  * union-find input is bounded by the affected subgraph — the resume story's
+  * scale tax at 10^12 docs removed. */
+class IncrementalScopedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+  private val cfg = GraftConfig()
+
+  private def tmpStore(): IcebergShaped.Table =
+    IcebergShaped.table(Files.createTempDirectory("graft-store").toString)
+
+  private def metric(res: Pipeline.Result, name: String): Long =
+    res.metrics.filter(col("metric") === name).head().getLong(1)
+
+  private def clusterRows(df: DataFrame): Seq[(String, String, Boolean)] =
+    df.select("url", "cluster_id", "is_keeper").orderBy("url")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+
+  private def pairRows(df: DataFrame): Seq[(String, String, Int, Boolean)] =
+    df.select("url_a", "url_b", "sim_bits", "matched").orderBy("url_a", "url_b")
+      .collect().toSeq.map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+
+  test("append increment: scoped == one-shot; union-find input bounded by affected") {
+    val store = tmpStore()
+    val base = CorpusSpark.pages(spark, 600L, 4, cfg.seed)
+    val full = CorpusSpark.pages(spark, 800L, 4, cfg.seed)
+
+    val (_, _, st1) = Pipeline.runIncrementalScoped(base, store, None, cfg)
+    val (r2, inc2, _) = Pipeline.runIncrementalScoped(full, store, Some(st1), cfg)
+    assert(inc2.skipped > 0L, "second run must reuse the store's fingerprints")
+
+    val oneShot = Pipeline.run(full, cfg)
+    assert(clusterRows(r2.clusters) === clusterRows(oneShot.clusters),
+      "scoped splice must reproduce the one-shot cluster assignment exactly")
+    assert(pairRows(r2.pairs) === pairRows(oneShot.pairs),
+      "kept-prev + delta must reproduce the one-shot pairs table exactly")
+
+    // the scale contract: the spliced union-find saw only affected components
+    // + delta edges, strictly less than the full matched graph, and most
+    // previous clusters passed through untouched
+    val totalMatched = metric(oneShot, "matched_pairs")
+    assert(metric(r2, "recluster_edges") < totalMatched,
+      "union-find input must be bounded by the affected subgraph, not the corpus")
+    assert(metric(r2, "untouched_clusters") > 0L,
+      "unaffected clusters must pass through without re-clustering")
+  }
+
+  test("re-crawl changes content: stale pairs dropped, affected cluster re-solved") {
+    import spark.implicits._
+    val store = tmpStore()
+    val base = CorpusSpark.pages(spark, 400L, 4, cfg.seed)
+
+    val (r1, _, st1) = Pipeline.runIncrementalScoped(base, store, None, cfg)
+    // pick a matched pair's second url as the re-crawl victim: changing its
+    // text must break that edge (and possibly split its cluster)
+    val victimRow = r1.pairs.filter(col("matched"))
+      .select("url_a", "url_b").orderBy("url_a", "url_b").head()
+    val victim = victimRow.getString(1)
+
+    val newText = (0 until 300).map(i => f"recrawled$i%05d").mkString(" ")
+    val recrawled = base.filter(col("url") === victim)
+      .withColumn("warc_ts", timestamp_millis(unix_millis(col("warc_ts")) + lit(86400000L)))
+      .withColumn("html", lit(Render.html(newText, 7L)))
+      .withColumn("text", lit(newText))
+    val current = base.filter(col("url") =!= victim).unionByName(recrawled)
+
+    val (r2, _, _) = Pipeline.runIncrementalScoped(current, store, Some(st1), cfg)
+    val oneShot = Pipeline.run(current, cfg)
+
+    assert(clusterRows(r2.clusters) === clusterRows(oneShot.clusters),
+      "stale member's component must be re-solved (splits included)")
+    assert(pairRows(r2.pairs) === pairRows(oneShot.pairs),
+      "the victim's stale pairs must be dropped and regenerated from its new text")
+    // the old matched edge is gone from the live pairs table
+    assert(r2.pairs.filter(col("url_a") === victimRow.getString(0) &&
+      col("url_b") === victim && col("matched")).isEmpty)
+  }
+
+  test("no-op increment: nothing re-clusters, assignment unchanged") {
+    val store = tmpStore()
+    val base = CorpusSpark.pages(spark, 300L, 4, cfg.seed)
+    val (r1, _, st1) = Pipeline.runIncrementalScoped(base, store, None, cfg)
+    val (r2, inc2, _) = Pipeline.runIncrementalScoped(base, store, Some(st1), cfg)
+    assert(inc2.newlyFingerprinted === 0L)
+    assert(metric(r2, "recluster_edges") === 0L)
+    assert(metric(r2, "affected_clusters") === 0L)
+    assert(clusterRows(r2.clusters) === clusterRows(r1.clusters))
+  }
+}
