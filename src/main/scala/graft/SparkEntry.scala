@@ -43,6 +43,12 @@ object SparkEntry {
     * already carries the scale measurement. */
   private def modeCorpusN(d: String): Long = math.min(corpusN(d), 8000L)
 
+  /** Fixed cursor for the W2 progress-position query: a mid-range url
+    * threshold in the deterministic corpus enumeration (it need not name an
+    * existing pair — progress is a count over the canonical ordering). */
+  private val progressCursorA = "https://example.org/s31/doc0000001000"
+  private val progressCursorB = progressCursorA
+
   private val cfgExact = cfg.copy(exactVerify = true)
   private def pipelineExactFor(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d + "!exact",
@@ -291,6 +297,63 @@ object SparkEntry {
           col("total_bytes").cast("long").as("total_bytes"),
           col("reclaimable_bytes").cast("long").as("reclaimable_bytes"),
           col("first_seen"))),
+    // S12 move sink: non-keepers become move actions targeting a quarantine
+    // root; the oracle re-derives keeper rank + target path from the closure
+    "q_actions_move" -> ((s, d) =>
+      graft.spark.Actions.moveDrops(pipelineFor(s, d).clusters, "/dedup/dropped")
+        .select(col("url"), col("cluster_id"), col("action"), col("target"),
+          col("rank_in_cluster"), col("reclaim_bytes"))
+        .orderBy("url")),
+    // S13 swap sink: each matched pair yields two identity-exchange rows;
+    // the oracle re-derives the matched set (sim_bits >= threshold) and the
+    // two-row expansion in SQL
+    "q_actions_swap" -> ((s, d) =>
+      graft.spark.Actions.swapPairs(
+        pipelineFor(s, d).pairs.filter(col("matched"))
+          .select(col("url_a"), col("url_b")))
+        .orderBy("url", "target")),
+    // A3 action totals (the reference's deleted-files running total)
+    "q_action_summary" -> ((s, d) =>
+      graft.spark.Actions.summary(
+        graft.spark.Actions.fromClusters(pipelineFor(s, d).clusters))
+        .select(col("action"), col("n"), col("bytes"))
+        .orderBy("action")),
+    // A2/S14 per-run summary: the oracle independently re-derives each
+    // metric from the raw exports (distinct text groups, pair counts at the
+    // re-derived threshold, cluster sizes over the recursive closure)
+    "q_run_summary" -> ((s, d) =>
+      pipelineFor(s, d).metrics
+        .filter(col("metric").isin("exact_groups", "candidate_pairs",
+          "matched_pairs", "dup_clusters", "docs_in_dup_clusters"))
+        .orderBy("metric")),
+    // W2 progress position: the canonical position of a fixed (a, b) cursor
+    // in the deterministic pair enumeration — two distributed counts, no
+    // global sort window (comparison.cpp:366-373)
+    "q_progress" -> ((s, d) => {
+      import s.implicits._
+      val (pos, total, frac) = graft.spark.Pairs.progressOf(
+        pipelineFor(s, d).pairs, progressCursorA, progressCursorB)
+      Seq((pos, total, frac)).toDF("position", "total", "fraction")
+    }),
+    // X2/X3/X4/X5 scoring kernel: sim_bits re-derived by the oracle from the
+    // exported RAW simhashes — hamming, both-null guard, length modifier,
+    // 64-clamp, and the cutEnds best-of-two all re-computed in SQL
+    "q_pair_scores" -> ((s, d) =>
+      pipelineFor(s, d).pairs
+        .select(col("url_a"), col("url_b"),
+          col("len_mod").cast("long").as("len_mod"),
+          col("sim_bits").cast("long").as("sim_bits"), col("matched"))
+        .orderBy("url_a", "url_b")),
+    // F2/F3/F4/F5/X13 reject routing: every signature row with its routed
+    // reject_reason (NULL = accepted). The oracle re-derives the full
+    // priority chain (empty -> extract-anomaly -> low-entropy) in SQL from
+    // RAW integer measures (text_len, html byte length, the NULL-mapped
+    // simhash slots) exported in wt_sig_raw — the decision itself never
+    // crosses (video.cpp:19-42,157-158 routing)
+    "q_rejects" -> ((s, d) =>
+      pipelineFor(s, d).signatures
+        .select(col("url"), col("reject_reason"))
+        .orderBy("url")),
 
     // ---- §3.3 re-threshold (the reference's live slider) ----
     // matched re-derived from PERSISTED raw measures at v=80 — no
@@ -334,14 +397,29 @@ object SparkEntry {
     // corpusN, and rejection is mode-dependent — reusing the default wt_sigs
     // in a mode CTE would enumerate the wrong url universe whenever the two
     // sizes diverge (round-3 ADVICE #1: a guaranteed false mismatch at sf0.1)
+    // simhash_head/tail ride along as RAW measures: q_pair_scores re-derives
+    // the entire scoring kernel (hamming, both-null guard, length modifier,
+    // 64-clamp, best-of-two) from them in SQL — the decision never crosses
     def exportSigs(res: Pipeline.Result, name: String): Unit =
       res.signatures.filter(col("reject_reason").isNull)
         .select(col("url"), col("text_md5"),
           col("size").cast("long").as("size"),
-          col("text_len").cast("long").as("text_len"), col("warc_ts"))
+          col("text_len").cast("long").as("text_len"), col("warc_ts"),
+          col("simhash_head"), col("simhash_tail"))
         .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/$name")
 
     val res = pipelineFor(spark, sfDir)
+    // raw reject-routing inputs for q_rejects, INCLUDING rejected rows:
+    // text_len (= extracted length), the source page's html byte length, and
+    // the NULL-mapped simhash slots (both NULL <=> the kernel's low-entropy
+    // sentinel). The oracle re-applies the routing priority to these.
+    res.signatures
+      .select(col("url"), col("text_len").cast("long").as("text_len"),
+        col("simhash_head"), col("simhash_tail"))
+      .join(CorpusSpark.pages(spark, corpusN(sfDir), 16, cfg.seed)
+        .select(col("url"), length(col("html")).cast("long").as("html_len")),
+        Seq("url"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_sig_raw")
     res.pairs.select(col("url_a"), col("url_b"),
       col("sim_bits").cast("long").as("sim_bits"),
       col("len_mod").cast("long").as("len_mod"),
@@ -757,6 +835,100 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS docs_with_match,
         |       CAST(sum(first_min_size) AS BIGINT) AS reclaimable_bytes
         |FROM fm""".stripMargin,
+
+    // S12 move sink: keeper rank + quarantine target re-derived from the
+    // closure (mp itself re-derived at the threshold, not the raw flag)
+    "q_actions_move" ->
+      (wtCteWith(s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet')
+           | WHERE sim_bits >= ${cfg.simBitsThreshold}""".stripMargin) +
+        """SELECT url, cluster_id,
+          |  CASE WHEN rn = 1 THEN 'keep' ELSE 'move' END AS action,
+          |  CASE WHEN rn = 1 THEN NULL ELSE '/dedup/dropped/' || url END AS target,
+          |  CAST(rn AS BIGINT) AS rank_in_cluster,
+          |  CAST(CASE WHEN rn = 1 THEN 0 ELSE size END AS BIGINT) AS reclaim_bytes
+          |FROM ranked ORDER BY url""".stripMargin),
+
+    // S13 swap sink: two identity-exchange rows per matched pair
+    "q_actions_swap" ->
+      s"""WITH mp AS (SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet')
+         |            WHERE sim_bits >= ${cfg.simBitsThreshold})
+         |SELECT url, action, target FROM (
+         |  SELECT url_a AS url, 'swap' AS action, url_b AS target FROM mp
+         |  UNION ALL SELECT url_b, 'swap', url_a FROM mp)
+         |ORDER BY url, target""".stripMargin,
+
+    // A3 action totals over the re-derived keeper election
+    "q_action_summary" ->
+      (wtCteWith(s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet')
+           | WHERE sim_bits >= ${cfg.simBitsThreshold}""".stripMargin) +
+        """SELECT CASE WHEN rn = 1 THEN 'keep' ELSE 'drop' END AS action,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE size END) AS BIGINT) AS bytes
+          |FROM ranked GROUP BY 1 ORDER BY action""".stripMargin),
+
+    // A2/S14 per-run summary: each metric independently re-derived
+    "q_run_summary" ->
+      (wtCteWith(s"""SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet')
+           | WHERE sim_bits >= ${cfg.simBitsThreshold}""".stripMargin) +
+        """SELECT metric, value FROM (
+          |  SELECT 'candidate_pairs' AS metric,
+          |    CAST((SELECT count(*) FROM read_parquet('{AUX}/wt_pairs/*.parquet')) AS BIGINT) AS value
+          |  UNION ALL SELECT 'matched_pairs', CAST((SELECT count(*) FROM mp) AS BIGINT)
+          |  UNION ALL SELECT 'exact_groups',
+          |    CAST((SELECT count(DISTINCT text_md5) FROM sigs) AS BIGINT)
+          |  UNION ALL SELECT 'dup_clusters', CAST((SELECT count(*) FROM
+          |    (SELECT cluster_id FROM clus GROUP BY cluster_id HAVING count(*) > 1)) AS BIGINT)
+          |  UNION ALL SELECT 'docs_in_dup_clusters', CAST((SELECT coalesce(sum(c), 0) FROM
+          |    (SELECT count(*) AS c FROM clus GROUP BY cluster_id HAVING count(*) > 1)) AS BIGINT)
+          |) ORDER BY metric""".stripMargin),
+
+    // W2 progress position at the fixed cursor
+    "q_progress" ->
+      s"""WITH p AS (SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet')),
+         |a AS (SELECT
+         |  CAST(coalesce(sum(CASE WHEN url_a < '$progressCursorA'
+         |         OR (url_a = '$progressCursorA' AND url_b <= '$progressCursorB')
+         |       THEN 1 END), 0) AS BIGINT) AS position,
+         |  CAST(count(*) AS BIGINT) AS total FROM p)
+         |SELECT position, total,
+         |  CASE WHEN total = 0 THEN 0.0
+         |       ELSE position / CAST(total AS DOUBLE) END AS fraction
+         |FROM a""".stripMargin,
+
+    // X2-X5 scoring kernel re-derived wholesale from RAW simhashes: hamming
+    // via xor+bit_count, both-null guard, length modifier, 64-clamp, cutEnds
+    // best-of-two — bit-for-bit integer arithmetic on both engines
+    "q_pair_scores" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('{AUX}/wt_sigs/*.parquet')),
+         |p AS (SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet')),
+         |j AS (SELECT p.url_a, p.url_b,
+         |        a.simhash_head AS ha_h, a.simhash_tail AS ha_t,
+         |        b.simhash_head AS hb_h, b.simhash_tail AS hb_t,
+         |        CASE WHEN abs(a.text_len - b.text_len) <= ${cfg.lenTolChars}
+         |             THEN ${cfg.sameLenBonus} ELSE -${cfg.diffLenPenalty} END AS lm
+         |      FROM p JOIN s a ON p.url_a = a.url JOIN s b ON p.url_b = b.url),
+         |sc AS (SELECT url_a, url_b, lm,
+         |        CASE WHEN ha_h IS NULL AND hb_h IS NULL THEN 0
+         |             ELSE least(64 - bit_count(xor(coalesce(ha_h, CAST(0 AS BIGINT)),
+         |                                           coalesce(hb_h, CAST(0 AS BIGINT)))) + lm, 64) END AS sh,
+         |        CASE WHEN ha_t IS NULL AND hb_t IS NULL THEN 0
+         |             ELSE least(64 - bit_count(xor(coalesce(ha_t, CAST(0 AS BIGINT)),
+         |                                           coalesce(hb_t, CAST(0 AS BIGINT)))) + lm, 64) END AS st
+         |      FROM j)
+         |SELECT url_a, url_b, CAST(lm AS BIGINT) AS len_mod,
+         |  CAST(greatest(sh, st) AS BIGINT) AS sim_bits,
+         |  greatest(sh, st) >= ${cfg.simBitsThreshold} AS matched
+         |FROM sc ORDER BY url_a, url_b""".stripMargin,
+
+    // F2-F5/X13 reject routing re-derived wholesale: the priority chain and
+    // every threshold live in this SQL; the export carries only raw measures
+    "q_rejects" ->
+      """SELECT url,
+        |  CASE WHEN text_len = 0 THEN 'empty_text'
+        |       WHEN text_len > html_len THEN 'extract_anomaly'
+        |       WHEN simhash_head IS NULL AND simhash_tail IS NULL THEN 'low_entropy'
+        |       ELSE NULL END AS reject_reason
+        |FROM read_parquet('{AUX}/wt_sig_raw/*.parquet') ORDER BY url""".stripMargin,
 
     "q_rethreshold" ->
       """SELECT url_a, url_b, CAST(sim_bits AS BIGINT) AS sim_bits
