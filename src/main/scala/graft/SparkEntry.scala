@@ -354,6 +354,19 @@ object SparkEntry {
       pipelineFor(s, d).signatures
         .select(col("url"), col("reject_reason"))
         .orderBy("url")),
+    // X1/A4 SimHash construction (the pHash-analog kernel + its per-bit vote
+    // reduce, video.cpp:203-226): the oracle re-derives BOTH 64-bit hashes
+    // from the exported raw shingle-hash arrays — per-bit majority votes,
+    // strict >0 rule, the <minDistinct NULL sentinel and the ==0 flip — all
+    // in SQL. Universe: docs whose stored (bottom-k-capped) arrays are the
+    // complete sets, re-derived identically on both sides from array length.
+    "q_simhash_construct" -> ((s, d) =>
+      pipelineExactFor(s, d).signatures
+        .filter(col("reject_reason").isNull)
+        .filter(size(col("shingles_head")) < cfg.maxStoredShinglesPerSlot &&
+                size(col("shingles_tail")) < cfg.maxStoredShinglesPerSlot)
+        .select(col("url"), col("simhash_head"), col("simhash_tail"))
+        .orderBy("url")),
 
     // ---- §3.3 re-threshold (the reference's live slider) ----
     // matched re-derived from PERSISTED raw measures at v=80 — no
@@ -438,6 +451,11 @@ object SparkEntry {
       col("jac_inter"), col("jac_union"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_pairs_exact")
     exportSigs(resX, "wt_sigs_exact")
+    // raw shingle-hash arrays (exact mode keeps them): q_simhash_construct
+    // re-derives the whole SimHash kernel from these in SQL
+    resX.signatures.filter(col("reject_reason").isNull)
+      .select(col("url"), col("shingles_head"), col("shingles_tail"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_shingles")
     // reverified measures at the LOW slider value (v=70): the never-gated
     // stratum's (inter, union) are now filled in; the oracle re-derives the
     // decision at the new gate from the integers, never the matched flag
@@ -919,6 +937,46 @@ object SparkEntry {
          |  CAST(greatest(sh, st) AS BIGINT) AS sim_bits,
          |  greatest(sh, st) >= ${cfg.simBitsThreshold} AS matched
          |FROM sc ORDER BY url_a, url_b""".stripMargin,
+
+    // X1/A4 SimHash construction re-derived wholesale: per-bit majority
+    // votes over the raw shingle-hash arrays, the strict >0 rule, the
+    // <minDistinct NULL sentinel and the ==0->1 flip — the whole kernel in
+    // SQL (bit 63 via the sign to avoid a 1<<63 overflow)
+    "q_simhash_construct" ->
+      s"""WITH s AS (SELECT url, shingles_head, shingles_tail
+         |           FROM read_parquet('{AUX}/wt_shingles/*.parquet')
+         |           WHERE len(shingles_head) < ${cfg.maxStoredShinglesPerSlot}
+         |             AND len(shingles_tail) < ${cfg.maxStoredShinglesPerSlot}),
+         |bits AS (SELECT unnest(generate_series(0, 63)) AS bit),
+         |hv AS (SELECT s.url, bits.bit,
+         |         sum(CASE WHEN bits.bit = 63 THEN (CASE WHEN t.h < 0 THEN 1 ELSE -1 END)
+         |                  WHEN (t.h & (CAST(1 AS BIGINT) << bits.bit)) <> 0 THEN 1
+         |                  ELSE -1 END) AS v
+         |       FROM s, unnest(s.shingles_head) AS t(h), bits
+         |       GROUP BY s.url, bits.bit),
+         |hh AS (SELECT url, CAST(sum(CASE WHEN v > 0 THEN
+         |                CASE WHEN bit = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+         |                     ELSE CAST(CAST(1 AS BIGINT) << bit AS HUGEINT) END
+         |              ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS hraw
+         |       FROM hv GROUP BY url),
+         |tv AS (SELECT s.url, bits.bit,
+         |         sum(CASE WHEN bits.bit = 63 THEN (CASE WHEN t.h < 0 THEN 1 ELSE -1 END)
+         |                  WHEN (t.h & (CAST(1 AS BIGINT) << bits.bit)) <> 0 THEN 1
+         |                  ELSE -1 END) AS v
+         |       FROM s, unnest(s.shingles_tail) AS t(h), bits
+         |       GROUP BY s.url, bits.bit),
+         |th AS (SELECT url, CAST(sum(CASE WHEN v > 0 THEN
+         |                CASE WHEN bit = 63 THEN CAST(-9223372036854775807 AS HUGEINT) - 1
+         |                     ELSE CAST(CAST(1 AS BIGINT) << bit AS HUGEINT) END
+         |              ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS traw
+         |       FROM tv GROUP BY url)
+         |SELECT s.url,
+         |  CASE WHEN len(s.shingles_head) < ${cfg.minDistinctShingles} THEN NULL
+         |       WHEN coalesce(hh.hraw, 0) = 0 THEN 1 ELSE hh.hraw END AS simhash_head,
+         |  CASE WHEN len(s.shingles_tail) < ${cfg.minDistinctShingles} THEN NULL
+         |       WHEN coalesce(th.traw, 0) = 0 THEN 1 ELSE th.traw END AS simhash_tail
+         |FROM s LEFT JOIN hh USING (url) LEFT JOIN th USING (url)
+         |ORDER BY s.url""".stripMargin,
 
     // F2-F5/X13 reject routing re-derived wholesale: the priority chain and
     // every threshold live in this SQL; the export carries only raw measures

@@ -167,8 +167,9 @@ object Pipeline {
           .select(col("url"), col("cluster_id"))
         val clustered = memberClusters
           .join(valid.select(col("url"), col("size"), col("text_len"), col("warc_ts")), "url")
-        val clusters = Clusters.electKeepers(clustered).persist(persistLevel)
-        clusters.count()
+        // same result-boundary lineage truncation as downstream(): the
+        // increment-chain plans stay O(this increment) for every consumer
+        val clusters = Clusters.electKeepers(clustered).localCheckpoint()
 
         val spark = sigs.sparkSession
         import spark.implicits._
@@ -203,18 +204,29 @@ object Pipeline {
     }
 
   /** The shared relational core: exact-group -> candidates -> scoring ->
-    * union-find -> keeper election. Returns all frames LAZY except what the
-    * iterative union-find had to materialize; metrics is a single
-    * union-aggregate whose one job warms every persisted intermediate. */
+    * union-find -> keeper election. `pairs` and `clusters` come back
+    * MATERIALIZED and lineage-truncated (see the checkpoint note below);
+    * `signatures` stays a lazy persisted frame. */
   private def downstream(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
                          persistLevel: StorageLevel): Result = {
-    val ps = pairStage(sigs, pages, cfg, persistLevel)
-    val clusters = clusterStage(ps, persistLevel)
-    // materialize the clusters cache BEFORE the fused metrics job: its four
-    // aggregate branches run as concurrent AQE query stages, and concurrent
-    // first-touch of an unpopulated cache recomputes the keeper window per
-    // branch (see Candidates for the same race on the band cache)
-    clusters.count()
+    val ps0 = pairStage(sigs, pages, cfg, persistLevel)
+    // Lineage truncation at the result boundary. The candidate stage is a
+    // DAG of self-joins and unions over the same subtrees (band self-join,
+    // heavy/light routing, payload join-back, verify re-joins); expressed as
+    // a logical plan TREE those shared subtrees multiply out, so every
+    // DataFrame later derived from `pairs`/`clusters` re-ANALYZES a tree
+    // that grows geometrically with consumer depth — measured as
+    // multi-minute single-core driver stalls per derived query and >10M-char
+    // plan strings. An eager localCheckpoint rewrites the frame to a
+    // LogicalRDD leaf: one materialization job here (the union-find needed
+    // the rows anyway), O(1)-size plans for every consumer. It also
+    // replaces the old clusters.count() AQE-cache-race guard — the eager
+    // checkpoint materializes single-threadedly by construction. On a real
+    // cluster the durable equivalent is writing pairs/clusters to the store
+    // and reading them back (localCheckpoint is lost on executor failure).
+    val pairs = ps0.pairs.localCheckpoint()
+    val ps = ps0.copy(pairs = pairs)
+    val clusters = clusterStage(ps, persistLevel).localCheckpoint()
 
     // one driver job for every remaining run metric (S14): per-frame
     // aggregates are exploded to (metric, value) rows and unioned, so one
@@ -254,6 +266,7 @@ object Pipeline {
     }
 
     val ps = pairStage(sigs, pages, cfg, persistLevel)
+    ps.pairs.persist(persistLevel)
     val repCount = ps.reps.count()
     val tExactGroup = phaseMs()
 
@@ -262,7 +275,7 @@ object Pipeline {
       coalesce(sum(when(col("matched"), 1L)), lit(0L))).head()
     val tCandidates = phaseMs()
 
-    val clusters = clusterStage(ps, persistLevel)
+    val clusters = clusterStage(ps, persistLevel).persist(persistLevel)
     val cluAgg = clusters.groupBy("cluster_id").count()
       .agg(
         coalesce(sum(when(col("count") > 1, 1L)), lit(0L)),
@@ -321,7 +334,10 @@ object Pipeline {
     val scored =
       if (cfg.substringPass) Pairs.substringPass(scoredVerified, pages, cfg)
       else scoredVerified
-    PairStage(rejects, valid, members, reps, scored.persist(persistLevel))
+    // NOT persisted/checkpointed here: downstream() truncates lineage with
+    // an eager localCheckpoint, downstreamProfiled() persists lazily so its
+    // phase timers still attribute the candidate work to the right marker
+    PairStage(rejects, valid, members, reps, scored)
   }
 
   /** Clustering half: union-find (EAGER — iterative), member expansion,
@@ -335,7 +351,7 @@ object Pipeline {
       .select(col("url"), col("cluster_id"))
     val clustered = memberClusters
       .join(ps.valid.select(col("url"), col("size"), col("text_len"), col("warc_ts")), "url")
-    Clusters.electKeepers(clustered).persist(persistLevel)
+    Clusters.electKeepers(clustered)
   }
 
   /** Explode a one-row aggregate frame into (metric, value) rows — keeps the

@@ -64,11 +64,18 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("exact-verify shingle join is a hash join gated to the admitted stratum") {
+    // built from the public stage APIs rather than Pipeline.run: the
+    // pipeline's Result.pairs is lineage-truncated to a LogicalRDD leaf
+    // (downstream()'s eager localCheckpoint), so the verify join's shape is
+    // only visible on the pre-checkpoint frame
     val cfg = GraftConfig(exactVerify = true)
     val pages = CorpusSpark.pages(spark, 400L, parts = 2, seed = cfg.seed)
-    val res = Pipeline.run(pages, cfg)
-    res.pairs.collect()
-    val plan = res.pairs.queryExecution.executedPlan.toString
+    val sigs = Fingerprints.fromPages(pages, cfg).toDF()
+      .filter(col("reject_reason").isNull)
+    val pairs = Pairs.exactVerify(
+      Pairs.score(Candidates.candidatePairs(sigs, cfg), cfg), sigs, cfg)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
     // the expensive verify join must be a hash join (broadcast or shuffled),
     // never a nested-loop/cartesian product
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
