@@ -43,6 +43,38 @@ object SparkEntry {
     * already carries the scale measurement. */
   private def modeCorpusN(d: String): Long = math.min(corpusN(d), 8000L)
 
+  /** S7/S8 store round-trip frame: the default pipeline's signature
+    * projection plus the store's required part_id (content-hash bucketed) —
+    * deterministic, so two independent commits of it are value-identical.
+    * q_store_roundtrip reads a committed store THROUGH the manifest chain
+    * (Spark side) while the DuckDB oracle raw-globs every parquet file under
+    * an identically-committed store's data dir ({AUX}/store_s8): an extra,
+    * missing, or duplicated data file on either path breaks the hash match. */
+  private def storeFrame(s: SparkSession, d: String): DataFrame =
+    pipelineFor(s, d).signatures
+      .select(col("url"), col("content_id"), col("text_md5"),
+        col("size").cast("long").as("size"),
+        col("text_len").cast("long").as("text_len"))
+      .withColumn("part_id", pmod(xxhash64(col("url")), lit(8)).cast("int"))
+
+  private val storeCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def storeRootFor(s: SparkSession, d: String): String =
+    storeCache.getOrElseUpdate(d, {
+      val root = java.nio.file.Files.createTempDirectory("graft-s8-store").toString
+      graft.store.IcebergShaped.table(root).commit(storeFrame(s, d), cfg.configFp)
+      root
+    })
+
+  /** Recursive delete for the aux store root (re-committing onto a previous
+    * verify run's store would append a second snapshot and desync the
+    * oracle's raw file glob from the single-commit layout). */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   /** Fixed cursor for the W2 progress-position query: a mid-range url
     * threshold in the deterministic corpus enumeration (it need not name an
     * existing pair — progress is a count over the canonical ordering). */
@@ -360,6 +392,13 @@ object SparkEntry {
     // strict >0 rule, the <minDistinct NULL sentinel and the ==0 flip — all
     // in SQL. Universe: docs whose stored (bottom-k-capped) arrays are the
     // complete sets, re-derived identically on both sides from array length.
+    // S7/S8 store round-trip: write-then-swap commit + manifest-chain read
+    // (see storeFrame's scaladoc for what the oracle independently checks)
+    "q_store_roundtrip" -> ((s, d) =>
+      graft.store.IcebergShaped.table(storeRootFor(s, d)).read(s)
+        .select(col("url"), col("content_id"), col("text_md5"),
+          col("size"), col("text_len"))
+        .orderBy("url")),
     "q_simhash_construct" -> ((s, d) =>
       pipelineExactFor(s, d).signatures
         .filter(col("reject_reason").isNull)
@@ -433,6 +472,13 @@ object SparkEntry {
         .select(col("url"), length(col("html")).cast("long").as("html_len")),
         Seq("url"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_sig_raw")
+    // an INDEPENDENT commit of the q_store_roundtrip frame: the oracle
+    // raw-globs this store's data files, the query reads its own store
+    // through the manifest — commit determinism + manifest fidelity checked
+    // against raw bytes (fresh single-snapshot store every verify run)
+    val s8root = s"$auxDir/store_s8"
+    deleteRecursively(java.nio.file.Paths.get(s8root))
+    graft.store.IcebergShaped.table(s8root).commit(storeFrame(spark, sfDir), cfg.configFp)
     res.pairs.select(col("url_a"), col("url_b"),
       col("sim_bits").cast("long").as("sim_bits"),
       col("len_mod").cast("long").as("len_mod"),
@@ -937,6 +983,14 @@ object SparkEntry {
          |  CAST(greatest(sh, st) AS BIGINT) AS sim_bits,
          |  greatest(sh, st) >= ${cfg.simBitsThreshold} AS matched
          |FROM sc ORDER BY url_a, url_b""".stripMargin,
+
+    // S7/S8 store round-trip vs raw bytes: every parquet file under the
+    // aux store's data dir, globbed directly — no manifest on this side
+    "q_store_roundtrip" ->
+      """SELECT url, content_id, text_md5,
+        |  CAST(size AS BIGINT) AS size, CAST(text_len AS BIGINT) AS text_len
+        |FROM read_parquet('{AUX}/store_s8/data/*/*/*.parquet')
+        |ORDER BY url""".stripMargin,
 
     // X1/A4 SimHash construction re-derived wholesale: per-bit majority
     // votes over the raw shingle-hash arrays, the strict >0 rule, the
