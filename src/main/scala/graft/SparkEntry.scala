@@ -65,6 +65,18 @@ object SparkEntry {
       root
     })
 
+  /** S9 delete condition — SQL-expressible on purpose, so the DuckDB oracle
+    * can re-apply NOT(condition) to the PRE-delete store's raw data files
+    * (store_s8 holds the identical committed frame). */
+  private def storeDeleteRootFor(s: SparkSession, d: String): String =
+    storeCache.getOrElseUpdate(d + "!del", {
+      val root = java.nio.file.Files.createTempDirectory("graft-s9-store").toString
+      val t = graft.store.IcebergShaped.table(root)
+      t.commit(storeFrame(s, d), cfg.configFp)
+      t.delete(s, pmod(col("text_len"), lit(3)) === 0)
+      root
+    })
+
   /** Recursive delete for the aux store root (re-committing onto a previous
     * verify run's store would append a second snapshot and desync the
     * oracle's raw file glob from the single-commit layout). */
@@ -396,6 +408,14 @@ object SparkEntry {
     // (see storeFrame's scaladoc for what the oracle independently checks)
     "q_store_roundtrip" -> ((s, d) =>
       graft.store.IcebergShaped.table(storeRootFor(s, d)).read(s)
+        .select(col("url"), col("content_id"), col("text_md5"),
+          col("size"), col("text_len"))
+        .orderBy("url")),
+    // S9 cache delete (db.cpp:99-117's invalidation as an overwrite
+    // snapshot): read-after-delete through the manifest; the oracle
+    // re-applies NOT(condition) to the pre-delete store's raw files
+    "q_store_delete" -> ((s, d) =>
+      graft.store.IcebergShaped.table(storeDeleteRootFor(s, d)).read(s)
         .select(col("url"), col("content_id"), col("text_md5"),
           col("size"), col("text_len"))
         .orderBy("url")),
@@ -990,6 +1010,15 @@ object SparkEntry {
       """SELECT url, content_id, text_md5,
         |  CAST(size AS BIGINT) AS size, CAST(text_len AS BIGINT) AS text_len
         |FROM read_parquet('{AUX}/store_s8/data/*/*/*.parquet')
+        |ORDER BY url""".stripMargin,
+
+    // S9 delete semantics re-derived: retained set = pre-delete raw files
+    // minus the condition, computed on the DuckDB side from store_s8's bytes
+    "q_store_delete" ->
+      """SELECT url, content_id, text_md5,
+        |  CAST(size AS BIGINT) AS size, CAST(text_len AS BIGINT) AS text_len
+        |FROM read_parquet('{AUX}/store_s8/data/*/*/*.parquet')
+        |WHERE NOT (text_len % 3 = 0)
         |ORDER BY url""".stripMargin,
 
     // X1/A4 SimHash construction re-derived wholesale: per-bit majority
