@@ -132,12 +132,21 @@ object Bench {
     // 600 -> 1200 (round-4: two storm reps alone exhausted 600 s and the
     // artifact lost its third sample; the sweep has its own budget now).
     val budgetSec = sys.env.get("SPARK_GRAFT_E2E_BUDGET_SEC").map(_.toDouble).getOrElse(1200.0)
+    // summed task time per rep — the weather-resistant companion to wall
+    // time for scaling pairs (see graftclock.TaskClock): identical work every
+    // rep, so cpu_sec across parallelism levels measures the job's own
+    // contention growth, mostly net of external CPU steal.
+    val clock = org.apache.spark.graftclock.TaskClock.install(spark.sparkContext)
     var samples = List.empty[(Double, Long)] // (seconds, matched_pairs) per rep
+    var cpuSamples = List.empty[Double] // task executorCpuTime sum per rep
+    var runSamples = List.empty[Double] // task executorRunTime sum per rep
     var rep = 0
     while (rep < e2eK && (rep == 0 || samples.map(_._1).sum < budgetSec)) {
       // identical work every rep: drop all cached blocks (the pipeline's
       // internal persists and the pages cache), then re-run from synthesis
       spark.sharedState.cacheManager.clearCache()
+      org.apache.spark.graftclock.TaskClock.drain(spark.sparkContext)
+      val (cpu0, run0) = (clock.cpuNs.get(), clock.runMs.get())
       val t0 = System.nanoTime()
       // cache + materialize the synthetic input once (counted inside the
       // timing): the pipeline consumes `pages` twice (case-dedup ranking +
@@ -158,8 +167,14 @@ object Bench {
       if (rep == 0) allMetrics.toSeq.sortBy(_._1)
         .foreach { case (k, v) => System.err.println(s"[bench] $k=$v") }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] e2e rep ${rep + 1}/$e2eK: $sec%.1f s (matched=$m)")
+      org.apache.spark.graftclock.TaskClock.drain(spark.sparkContext)
+      val cpuSec = (clock.cpuNs.get() - cpu0) / 1e9
+      val runSec = (clock.runMs.get() - run0) / 1e3
+      System.err.println(f"[bench] e2e rep ${rep + 1}/$e2eK: $sec%.1f s " +
+        f"(matched=$m, task cpu $cpuSec%.1f s, task run $runSec%.1f s)")
       samples = samples :+ (sec, m)
+      cpuSamples = cpuSamples :+ cpuSec
+      runSamples = runSamples :+ runSec
       rep += 1
     }
     // headline time and matched count come from the SAME (best) rep; the
@@ -178,12 +193,15 @@ object Bench {
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val samplesJson = samples.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
     val matchedJson = samples.map(_._2).mkString("[", ",", "]")
+    val cpuJson = cpuSamples.map(s => f"$s%.1f").mkString("[", ",", "]")
+    val runJson = runSamples.map(s => f"$s%.1f").mkString("[", ",", "]")
     def wx(w: (Double, Double)): String =
       s"""{"md5_gbps":${f"${w._1}%.2f"},"bus_gbps":${f"${w._2}%.2f"}}"""
     val line =
       s"""{"metric":"docs_per_sec_e2e","value":${f"$docsPerSec%.1f"},"unit":"docs/sec",""" +
         s""""e2e_docs":$e2eN,"e2e_sec":${f"$e2eSec%.1f"},"e2e_samples":$samplesJson,""" +
         s""""matched_pairs":$matched,"matched_samples":$matchedJson,"matched_stable":$matchedStable,""" +
+        s""""task_cpu_sec_samples":$cpuJson,"task_run_sec_samples":$runJson,""" +
         s""""weather_pre":${wx(weatherPre)},"weather_post":${wx(weatherPost)},""" +
         s""""cpus":$cpus,"queries":$qs,"query_errors":$errs,"query_skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
