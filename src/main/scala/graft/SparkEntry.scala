@@ -138,6 +138,29 @@ object SparkEntry {
     pipelineCache.getOrElseUpdate(d + "!grid43",
       Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgGrid43))
 
+  /** §2.10 incremental re-cluster, scoped to affected components: base run
+    * over the corpus' 80% prefix, then ONE increment to the full corpus via
+    * Pipeline.runIncrementalScoped (store-backed anti-join resume, delta-only
+    * candidate generation, spliceAssign union-find over affected components).
+    * The DuckDB oracle for this query is the ONE-SHOT closure over the
+    * default pipeline's exported pairs/sigs (wtClusterCte) — a value-identical
+    * result proves incremental == one-shot end-to-end, keeper election
+    * included, while the spec layer (IncrementalScopedSpec) separately pins
+    * that the spliced union-find input stayed bounded by the affected
+    * subgraph. */
+  private def pipelineIncrementalFor(s: SparkSession, d: String): Pipeline.Result =
+    pipelineCache.getOrElseUpdate(d + "!incr", {
+      val store = graft.store.IcebergShaped.table(
+        java.nio.file.Files.createTempDirectory("graft-incr-store").toString)
+      val n = corpusN(d)
+      val base = CorpusSpark.pages(s, n * 4 / 5, 16, cfg.seed)
+      val full = CorpusSpark.pages(s, n, 16, cfg.seed)
+      val (_, _, st1) = Pipeline.runIncrementalScoped(base, store, None, cfg)
+      val (r2, inc2, _) = Pipeline.runIncrementalScoped(full, store, Some(st1), cfg)
+      require(inc2.skipped > 0L, "increment must resume from the store")
+      r2
+    })
+
   /** Flagship query (driver smoke-checks rows > 0): end-to-end near-dup
     * pipeline on the deterministic synthetic corpus, reporting the top
     * duplicate clusters by reclaimable bytes. */
@@ -334,6 +357,12 @@ object SparkEntry {
     // window-union overlap in the sampled token stream
     "q_webtext_grid43" -> ((s, d) =>
       pipelineGrid43For(s, d).clusters
+        .select("url", "cluster_id", "is_keeper").orderBy("url")),
+    // §2.10 incremental re-cluster (scoped): final clusters after base(80%)
+    // + one increment; oracled against the ONE-SHOT closure — see
+    // pipelineIncrementalFor's scaladoc
+    "q_incremental_clusters" -> ((s, d) =>
+      pipelineIncrementalFor(s, d).clusters
         .select("url", "cluster_id", "is_keeper").orderBy("url")),
     "q_webtext_top_reclaimable" -> ((s, d) =>
       Clusters.topClustersByReclaimable(pipelineFor(s, d).clusters, 20)
@@ -876,6 +905,12 @@ object SparkEntry {
         |GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     "q_webtext_clusters" ->
+      (wtClusterCte +
+        """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
+
+    // the incremental run is oracled against the ONE-SHOT closure: identical
+    // SQL to q_webtext_clusters, derived from the default pipeline's exports
+    "q_incremental_clusters" ->
       (wtClusterCte +
         """SELECT url, cluster_id, (rn = 1) AS is_keeper FROM ranked ORDER BY url"""),
 
