@@ -161,6 +161,44 @@ object SparkEntry {
       r2
     })
 
+  /** X12 stored-array cap + pre-cap ss-key sampling, hard-oracled: the kernel
+    * runs twice per url — once with a cap this corpus actually exceeds (64;
+    * the cap is config, the stored-thumbnail budget analog of thumbnail.h)
+    * and once uncapped. The query returns the capped stored arrays exploded
+    * to scalar rows; the oracle re-derives bottom-k (arrays are
+    * sorted-distinct, so bottom-k == take k, core/Signatures.scala:84-88) and
+    * the mod-m sampled merge-union (core/Signatures.scala:89-104) from the
+    * UNCAPPED chains in SQL — the selection decision never crosses to DuckDB,
+    * only raw hash chains do. */
+  private val sigCapTestCap = 64
+  private val sigCapCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def sigCapFor(s: SparkSession, d: String): DataFrame =
+    sigCapCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val cfgCap = cfg.copy(maxStoredShinglesPerSlot = sigCapTestCap)
+      val cfgUncapped = cfg.copy(maxStoredShinglesPerSlot = Int.MaxValue)
+      val out = CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed)
+        .select("url", "warc_ts", "html", "text", "lang")
+        .as[(String, java.sql.Timestamp, Array[Byte], String, String)]
+        .mapPartitions { it =>
+          val mh = new graft.core.MinHasher(cfg.numPerm, cfg.seed)
+          it.flatMap { case (url, ts, html, text, lang) =>
+            val capped =
+              graft.spark.Fingerprints.signatureOf(url, ts, html, text, lang, cfgCap, mh)
+            if (capped.reject_reason.isDefined) Iterator.empty
+            else {
+              val full =
+                graft.spark.Fingerprints.signatureOf(url, ts, html, text, lang, cfgUncapped, mh)
+              Iterator.single((url, capped.shingles_head, capped.shingles_tail,
+                capped.ss_keys, full.shingles_head, full.shingles_tail))
+            }
+          }
+        }
+        .toDF("url", "head_cap", "tail_cap", "ss_cap", "head_full", "tail_full")
+      out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** Flagship query (driver smoke-checks rows > 0): end-to-end near-dup
     * pipeline on the deterministic synthetic corpus, reporting the top
     * duplicate clusters by reclaimable bytes. */
@@ -455,6 +493,19 @@ object SparkEntry {
                 size(col("shingles_tail")) < cfg.maxStoredShinglesPerSlot)
         .select(col("url"), col("simhash_head"), col("simhash_tail"))
         .orderBy("url")),
+    // X12 stored-array cap + the pre-cap ss-key sampling (the round-4 recall
+    // fix), exploded to scalars; the oracle re-derives bottom-k and the mod-m
+    // union from the exported UNCAPPED hash chains
+    "q_sig_cap" -> ((s, d) => {
+      val base = sigCapFor(s, d)
+      def ex(c: String, slot: String) =
+        base.select(col("url"), posexplode(col(c)))
+          .select(col("url"), lit(slot).as("slot"),
+            (col("pos") + 1).cast("long").as("idx"), col("col").as("h"))
+      ex("head_cap", "head").unionByName(ex("tail_cap", "tail"))
+        .unionByName(ex("ss_cap", "ss"))
+        .orderBy("url", "slot", "idx")
+    }),
 
     // ---- §3.3 re-threshold (the reference's live slider) ----
     // matched re-derived from PERSISTED raw measures at v=80 — no
@@ -551,6 +602,11 @@ object SparkEntry {
     resX.signatures.filter(col("reject_reason").isNull)
       .select(col("url"), col("shingles_head"), col("shingles_tail"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_shingles")
+    // uncapped hash chains for q_sig_cap's SQL re-derivation of the bottom-k
+    // cap and the pre-cap mod-m ss-key sampling
+    sigCapFor(spark, sfDir)
+      .select(col("url"), col("head_full"), col("tail_full"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_sig_full")
     // reverified measures at the LOW slider value (v=70): the never-gated
     // stratum's (inter, union) are now filled in; the oracle re-derives the
     // decision at the new gate from the integers, never the matched flag
@@ -1105,6 +1161,31 @@ object SparkEntry {
         |       WHEN simhash_head IS NULL AND simhash_tail IS NULL THEN 'low_entropy'
         |       ELSE NULL END AS reject_reason
         |FROM read_parquet('{AUX}/wt_sig_raw/*.parquet') ORDER BY url""".stripMargin,
+
+    // X12 cap + ss sampling re-derived wholesale from the uncapped chains:
+    // bottom-k per slot (sorted-distinct arrays => smallest k), and the
+    // ss keys = distinct mod-m survivors of the head∪tail union, ascending
+    "q_sig_cap" ->
+      s"""WITH f AS (SELECT url, head_full, tail_full
+         |           FROM read_parquet('{AUX}/wt_sig_full/*.parquet')),
+         |hx AS (SELECT url, t.h AS h FROM f, unnest(f.head_full) AS t(h)),
+         |tx AS (SELECT url, t.h AS h FROM f, unnest(f.tail_full) AS t(h)),
+         |hc AS (SELECT url, 'head' AS slot,
+         |         CAST(row_number() OVER (PARTITION BY url ORDER BY h) AS BIGINT) AS idx, h
+         |       FROM hx QUALIFY row_number() OVER (PARTITION BY url ORDER BY h) <= $sigCapTestCap),
+         |tc AS (SELECT url, 'tail' AS slot,
+         |         CAST(row_number() OVER (PARTITION BY url ORDER BY h) AS BIGINT) AS idx, h
+         |       FROM tx QUALIFY row_number() OVER (PARTITION BY url ORDER BY h) <= $sigCapTestCap),
+         |ssu AS (SELECT DISTINCT url, h
+         |        FROM (SELECT url, h FROM hx UNION ALL SELECT url, h FROM tx)
+         |        WHERE h % ${cfg.shingleSampleMod} = 0),
+         |ss AS (SELECT url, 'ss' AS slot,
+         |         CAST(row_number() OVER (PARTITION BY url ORDER BY h) AS BIGINT) AS idx, h
+         |       FROM ssu)
+         |SELECT url, slot, idx, h FROM hc
+         |UNION ALL SELECT url, slot, idx, h FROM tc
+         |UNION ALL SELECT url, slot, idx, h FROM ss
+         |ORDER BY url, slot, idx""".stripMargin,
 
     "q_rethreshold" ->
       """SELECT url_a, url_b, CAST(sim_bits AS BIGINT) AS sim_bits
