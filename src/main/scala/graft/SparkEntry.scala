@@ -170,6 +170,15 @@ object SparkEntry {
     * the mod-m sampled merge-union (core/Signatures.scala:89-104) from the
     * UNCAPPED chains in SQL — the selection decision never crosses to DuckDB,
     * only raw hash chains do. */
+  /** S10 config fingerprints: variants that differ in fingerprint-affecting
+    * fields (mode, cap) — exactVerify/substringPass are deliberately absent
+    * from the stamp (they don't change stored signatures). */
+  private def configFpVariants: Seq[(String, GraftConfig)] = Seq(
+    "default" -> cfg,
+    "grid2x2" -> cfgGrid,
+    "grid4x3" -> cfgGrid43,
+    "cap64"   -> cfg.copy(maxStoredShinglesPerSlot = sigCapTestCap))
+
   private val sigCapTestCap = 64
   private val sigCapCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -505,6 +514,15 @@ object SparkEntry {
       ex("head_cap", "head").unionByName(ex("tail_cap", "tail"))
         .unionByName(ex("ss_cap", "ss"))
         .orderBy("url", "slot", "idx")
+    }),
+
+    // S10 version stamp (db.cpp:46-47's version table): the fp for each
+    // fingerprint-affecting config variant; the oracle re-computes md5 over
+    // the canonical strings with DuckDB's own md5()
+    "q_config_fp" -> ((s, d) => {
+      import s.implicits._
+      configFpVariants.map { case (tag, c) => (tag, c.configFp) }
+        .toDF("tag", "fp").orderBy("tag")
     }),
 
     // ---- §3.3 re-threshold (the reference's live slider) ----
@@ -1161,6 +1179,21 @@ object SparkEntry {
         |       WHEN simhash_head IS NULL AND simhash_tail IS NULL THEN 'low_entropy'
         |       ELSE NULL END AS reject_reason
         |FROM read_parquet('{AUX}/wt_sig_raw/*.parquet') ORDER BY url""".stripMargin,
+
+    // S10 version stamp: DuckDB's own md5() over the canonical config strings
+    // (format re-stated here on purpose — drift in configFp's assembly or
+    // hashing shows up as a value mismatch, core/GraftConfig.scala:160-169)
+    "q_config_fp" -> {
+      def canon(c: GraftConfig): String =
+        s"graft3|k=${c.k}|perm=${c.numPerm}|mb=${c.minhashBands}|" +
+          s"sb=${c.simhashBandBits}|mode=${c.samplingMode}|" +
+          s"minShingles=${c.minDistinctShingles}|seed=${c.seed}|" +
+          s"ssmod=${c.shingleSampleMod}|cap=${c.maxStoredShinglesPerSlot}"
+      val rows = configFpVariants
+        .map { case (tag, c) => s"('$tag', '${canon(c)}')" }.mkString(", ")
+      s"""SELECT tag, md5(str) AS fp FROM (VALUES $rows) AS t(tag, str)
+         |ORDER BY tag""".stripMargin
+    },
 
     // X12 cap + ss sampling re-derived wholesale from the uncapped chains:
     // bottom-k per slot (sorted-distinct arrays => smallest k), and the
