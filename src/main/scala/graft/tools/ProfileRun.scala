@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.core.GraftConfig
+import graft.data.CorpusSpark
+import graft.spark.Pipeline
+
+/** Per-phase wall profile of the e2e pipeline (a tuning aid, not a driver
+  * surface): runs `Pipeline.run(profile = true)` on the synthetic corpus and
+  * prints the phase timings the profiled path collects, so wall time
+  * attributes to fingerprint / exact-group / candidates / clustering before
+  * any optimization work. Usage: runMain graft.tools.ProfileRun [nDocs]
+  * with SPARK_GRAFT_CPUS to set parallelism. */
+object ProfileRun {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 60000L
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores * 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-profile")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cfg = GraftConfig()
+    val t0 = System.nanoTime()
+    val res = Pipeline.run(
+      CorpusSpark.pages(spark, n, parts = cores * 8, seed = cfg.seed),
+      cfg, profile = true)
+    res.metrics.collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .foreach { case (k, v) => println(s"[profile] $k=$v") }
+    println(f"[profile] total_wall_s=${(System.nanoTime() - t0) / 1e9}%.1f")
+    spark.stop()
+  }
+}
