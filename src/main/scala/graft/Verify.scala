@@ -29,7 +29,11 @@ object Verify {
     }
     // aux inputs for the DuckDB oracles of non-SQL operators (the '{AUX}'
     // placeholder in oracleSql resolves to this absolute dir)
-    val auxDir = Paths.get(outDir).toAbsolutePath.resolve("aux").toString
+    // hidden dir: the aux export is oracle INPUT, not a query result — a
+    // visible sibling shows up in the driver's per-query report as a
+    // permanent no_oracle row ({AUX} is substituted as an absolute path, so
+    // the oracles themselves are unaffected)
+    val auxDir = Paths.get(outDir).toAbsolutePath.resolve(".aux").toString
     try SparkEntry.auxExport(spark, sfDir, auxDir)
     catch { case e: Throwable =>
       System.err.println(s"[verify] aux export failed: ${e.getMessage}")
