@@ -19,7 +19,7 @@ import graft.spark.Pipeline
   *
   * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_E2E_N
   * (override corpus size), SPARK_GRAFT_E2E_K (e2e repetitions, default 3),
-  * SPARK_GRAFT_E2E_BUDGET_SEC (e2e wall cap, default 1200),
+  * SPARK_GRAFT_E2E_BUDGET_SEC (e2e wall cap, default 1800),
   * SPARK_GRAFT_SWEEP_BUDGET_SEC (per-query sweep wall cap, default 900;
   * over-budget queries are skipped AND listed in query_skipped),
   * SPARK_GRAFT_SKIP_QUERIES=1 (scaling runs time the e2e pipeline only —
@@ -130,8 +130,11 @@ object Bench {
     // best-of-k under non-stationary host noise; cap total e2e wall so a
     // storm-slowed rep cannot blow the harness budget. Default raised
     // 600 -> 1200 (round-4: two storm reps alone exhausted 600 s and the
-    // artifact lost its third sample; the sweep has its own budget now).
-    val budgetSec = sys.env.get("SPARK_GRAFT_E2E_BUDGET_SEC").map(_.toDouble).getOrElse(1200.0)
+    // artifact lost its third sample; the sweep has its own budget now)
+    // -> 1800 (round-5: deep-storm reps run ~450 s at 60 k — K=3 must
+    // complete even then, so the official artifact always carries >= 3
+    // samples; quiet runs finish in ~90 s and never touch the cap).
+    val budgetSec = sys.env.get("SPARK_GRAFT_E2E_BUDGET_SEC").map(_.toDouble).getOrElse(1800.0)
     // summed task time per rep — the weather-resistant companion to wall
     // time for scaling pairs (see graftclock.TaskClock): identical work every
     // rep, so cpu_sec across parallelism levels measures the job's own

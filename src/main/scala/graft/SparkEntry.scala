@@ -467,6 +467,20 @@ object SparkEntry {
     // F2/F3/F4/F5/X13 reject routing: every signature row with its routed
     // reject_reason (NULL = accepted). The oracle re-derives the full
     // priority chain (empty -> extract-anomaly -> low-entropy) in SQL from
+    // S5/F7 extraction hard-oracled: the engine's md5 of Extract.text(html)
+    // per url (computed inside the fingerprint kernel BEFORE rejection, so
+    // every corpus page appears), against DuckDB re-extracting from the raw
+    // html bytes exported in wt_html. On this corpus's alphabet ([a-z ]
+    // paragraphs, boilerplate outside <p>), the reference extraction rules
+    // (video.cpp:47-120 probe analog) reduce to: all <p>...</p> blocks in
+    // order, joined by \n\n — which DuckDB states independently as a regex.
+    // unescape/canonicalize are identities here by corpus construction
+    // (FIXTURES.md §1), so a drift in block selection, ordering, or joining
+    // — the load-bearing extraction semantics — hash-mismatches.
+    "q_extraction" -> ((s, d) =>
+      pipelineFor(s, d).signatures
+        .select(col("url"), col("text_md5"))
+        .orderBy("url")),
     // RAW integer measures (text_len, html byte length, the NULL-mapped
     // simhash slots) exported in wt_sig_raw — the decision itself never
     // crosses (video.cpp:19-42,157-158 routing)
@@ -590,6 +604,13 @@ object SparkEntry {
         .select(col("url"), length(col("html")).cast("long").as("html_len")),
         Seq("url"))
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_sig_raw")
+    // raw page html (UTF-8 decoded — the corpus is ASCII) for q_extraction:
+    // DuckDB re-runs the extraction from these bytes alone. Universe =
+    // signatures (post case-url dedup), matching the query side.
+    CorpusSpark.pages(spark, corpusN(sfDir), 16, cfg.seed)
+      .select(col("url"), col("html").cast("string").as("html_str"))
+      .join(res.signatures.select("url"), Seq("url"), "left_semi")
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/wt_html")
     // an INDEPENDENT commit of the q_store_roundtrip frame: the oracle
     // raw-globs this store's data files, the query reads its own store
     // through the manifest — commit determinism + manifest fidelity checked
@@ -1169,6 +1190,16 @@ object SparkEntry {
          |       WHEN coalesce(th.traw, 0) = 0 THEN 1 ELSE th.traw END AS simhash_tail
          |FROM s LEFT JOIN hh USING (url) LEFT JOIN th USING (url)
          |ORDER BY s.url""".stripMargin,
+
+    // S5/F7 extraction re-derived wholesale from raw html: every <p> block's
+    // inner text in document order, \n\n-joined, md5'd. The regex states the
+    // extraction contract independently of the engine's hand-rolled scanner.
+    "q_extraction" ->
+      """SELECT url,
+        |  md5(array_to_string(
+        |        regexp_extract_all(html_str, '<p[^>]*>(.*?)</p>', 1),
+        |        chr(10) || chr(10))) AS text_md5
+        |FROM read_parquet('{AUX}/wt_html/*.parquet') ORDER BY url""".stripMargin,
 
     // F2-F5/X13 reject routing re-derived wholesale: the priority chain and
     // every threshold live in this SQL; the export carries only raw measures
