@@ -481,6 +481,33 @@ object SparkEntry {
       pipelineFor(s, d).signatures
         .select(col("url"), col("text_md5"))
         .orderBy("url")),
+    // F7 canonicalization + entity unescape hard-oracled on an ADVERSARIAL
+    // construction (the corpus alphabet makes both identities in
+    // q_extraction): each documents.text is wrapped in deterministic mess —
+    // tab/NBSP/CRLF/VT/FF whitespace runs, inline tags, the full named-
+    // entity set with the &amp;-last ordering trap (&amp;lt; must stay the
+    // literal string "&lt;"), two numeric entities, and a non-NFC combining
+    // accent (e + U+0301 -> é) — then run through the engine's real
+    // Extract.text (video.cpp:104-114's canonical-form-before-fingerprint
+    // analog). The DuckDB oracle REBUILDS the same mess from documents.text
+    // with chr()/replace and re-derives the whole strip -> unescape ->
+    // whitespace-collapse -> trim -> NFC chain with its own functions.
+    // Generic numeric-entity decoding stays sbt-gated (the oracle states
+    // the decode only for the two injected codes).
+    "q_canonicalize" -> ((s, d) => {
+      import s.implicits._
+      val ds = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+      ds.map { case (id, text) =>
+          val html = "<p id=\"z\">  \t" + text.replace(" ", "\t \u00A0") +
+            "\r\n&amp;lt; <b>x</b>, &quot;q&apos; &gt;&lt;&nbsp;e\u0301 " +
+            "&#65;&#x42;\u000B\u000C </p><div>nav</div><p>ok\u00A0x </p>"
+          (id, graft.core.Extract.text(html))
+        }.toDF("doc_id", "canon")
+        .select(col("doc_id"), md5(col("canon")).as("canon_md5"),
+          length(col("canon")).cast("long").as("canon_len"))
+        .orderBy("doc_id")
+    }),
     // RAW integer measures (text_len, html byte length, the NULL-mapped
     // simhash slots) exported in wt_sig_raw — the decision itself never
     // crosses (video.cpp:19-42,157-158 routing)
@@ -1200,6 +1227,39 @@ object SparkEntry {
         |        regexp_extract_all(html_str, '<p[^>]*>(.*?)</p>', 1),
         |        chr(10) || chr(10))) AS text_md5
         |FROM read_parquet('{AUX}/wt_html/*.parquet') ORDER BY url""".stripMargin,
+
+    // F7 canonicalization + unescape re-derived wholesale: DuckDB rebuilds
+    // the identical adversarial mess from documents.text (chr()/replace) and
+    // states strip -> unescape (engine order, &amp; last) -> whitespace
+    // collapse -> trim -> NFC entirely in its own functions
+    "q_canonicalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '<p id="z">' || '  ' || chr(9) ||
+        |    replace(text, ' ', chr(9) || ' ' || chr(160)) ||
+        |    chr(13) || chr(10) ||
+        |    '&amp;lt; <b>x</b>, &quot;q&apos; &gt;&lt;&nbsp;e' || chr(769) ||
+        |    ' &#65;&#x42;' || chr(11) || chr(12) || ' ' ||
+        |    '</p><div>nav</div><p>ok' || chr(160) || 'x </p>' AS html
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, list_transform(
+        |    regexp_extract_all(html, '(?s)<p[^>]*>(.*?)</p>', 1),
+        |    x -> nfc_normalize(trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(replace(replace(
+        |             regexp_replace(x, '<[^>]*>', '', 'g'),
+        |             '&#65;', 'A'), '&#x42;', 'B'),
+        |             '&lt;', chr(60)), '&gt;', chr(62)), '&quot;', '"'),
+        |             '&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+        |           '[' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)
+        |               || chr(160) || ' ]+', ' ', 'g'), ' '))) AS blocks
+        |  FROM m
+        |)
+        |SELECT doc_id,
+        |  md5(array_to_string(blocks, chr(10) || chr(10))) AS canon_md5,
+        |  CAST(length(array_to_string(blocks, chr(10) || chr(10))) AS BIGINT)
+        |    AS canon_len
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // F2-F5/X13 reject routing re-derived wholesale: the priority chain and
     // every threshold live in this SQL; the export carries only raw measures
