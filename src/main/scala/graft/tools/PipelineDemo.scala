@@ -32,9 +32,15 @@ object PipelineDemo {
       println(s"  ${r.getAs[String]("cluster_id")} n=${r.getAs[Long]("n_docs")} reclaim=${r.getAs[Long]("reclaimable_bytes")}")
     }
 
-    if (n <= 20000) {
+    // The sequential oracle's all-pairs compare is O(n^2); 20k (~0.2B pair
+    // evals) is the default ceiling. GRAFT_GRADE_MAX opts into grading at
+    // larger n (60k ~ 1.8B evals, a few minutes) for headline-scale evidence.
+    val gradeMax = sys.env.get("GRAFT_GRADE_MAX").map(_.toLong).getOrElse(20000L)
+    if (n <= gradeMax) {
       println("grading vs sequential oracle...")
+      val tOracle = System.nanoTime()
       val truth = OracleTruth.compute(n, cfg)
+      println(f"oracle computed in ${(System.nanoTime() - tOracle) / 1e9}%.1fs")
       val got = res.clusters.select("url", "cluster_id").as[(String, String)]
         .collect().toMap
       val recallHits = truth.matchedPairs.count { case (a, b) =>
