@@ -77,6 +77,58 @@ object SparkEntry {
       root
     })
 
+  /** S15 temp-file GC scenario (the reference's leftover-file cleanup,
+    * mainwindow.cpp:53-64, as crashed-commit debris collection): a
+    * two-snapshot store (the frame split by url-hash parity) plus two
+    * planted `snap-debris-*` dirs that no manifest references. Labels are
+    * root-independent — referenced dirs by their manifest version
+    * ("v0"/"v1"), debris by its planted suffix — so the query-side temp
+    * store and the aux-side twin agree on names. */
+  private def buildGcScenario(s: SparkSession, d: String, root: String): Unit = {
+    deleteRecursively(java.nio.file.Paths.get(root))
+    val t = graft.store.IcebergShaped.table(root)
+    val frame = storeFrame(s, d)
+    t.commit(frame.filter(pmod(xxhash64(col("url")), lit(2)) === 0), cfg.configFp)
+    t.commit(frame.filter(pmod(xxhash64(col("url")), lit(2)) === 1), cfg.configFp)
+    for (tag <- Seq("debris-a", "debris-b")) {
+      val p = java.nio.file.Paths.get(root, "data", s"snap-$tag", "part_id=0")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve("orphan.parquet"), s"crashed-commit-$tag")
+    }
+  }
+
+  /** On-disk snap dirs under `root`, labeled root-independently; rows_total
+    * from the owning manifest, or -1 for a dir no manifest references (a
+    * survivor with -1 means GC failed to collect debris). */
+  private def gcDirLabels(root: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val t = graft.store.IcebergShaped.table(root)
+    val byDir: Map[String, (String, Long)] =
+      (0 to t.currentVersion.getOrElse(-1)).flatMap { v =>
+        val sn = t.snapshotAt(v)
+        sn.files.headOption.map { f =>
+          java.nio.file.Paths.get(f.path).getParent.toString ->
+            (s"v$v", sn.files.map(_.rows).sum)
+        }
+      }.toMap
+    val ds = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+    try ds.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("snap-"))
+      .map { p =>
+        byDir.getOrElse(p.toString,
+          (p.getFileName.toString.stripPrefix("snap-"), -1L))
+      }.toSeq.sortBy(_._1)
+    finally ds.close()
+  }
+
+  private def gcRootFor(s: SparkSession, d: String): String =
+    storeCache.getOrElseUpdate(d + "!gc", {
+      val root = java.nio.file.Files.createTempDirectory("graft-s15-store").toString
+      buildGcScenario(s, d, root)
+      graft.store.IcebergShaped.table(root).gcOrphans()
+      root
+    })
+
   /** Recursive delete for the aux store root (re-committing onto a previous
     * verify run's store would append a second snapshot and desync the
     * oracle's raw file glob from the single-commit layout). */
@@ -536,6 +588,16 @@ object SparkEntry {
         .select(col("url"), col("content_id"), col("text_md5"),
           col("size"), col("text_len"))
         .orderBy("url")),
+    // S15 temp-file GC (mainwindow.cpp:53-64): what gcOrphans actually left
+    // on disk, labeled root-independently. A debris dir GC failed to remove
+    // surfaces as an extra row with rows_total=-1 (no oracle counterpart); a
+    // wrongly-collected live dir surfaces as a missing row. The oracle
+    // re-derives the survivor set from the aux twin's raw listings.
+    "q_store_gc" -> ((s, d) => {
+      val rows = gcDirLabels(gcRootFor(s, d))
+      s.createDataFrame(rows).toDF("dir_label", "rows_total")
+        .orderBy("dir_label")
+    }),
     "q_simhash_construct" -> ((s, d) =>
       pipelineExactFor(s, d).signatures
         .filter(col("reject_reason").isNull)
@@ -645,6 +707,22 @@ object SparkEntry {
     val s8root = s"$auxDir/store_s8"
     deleteRecursively(java.nio.file.Paths.get(s8root))
     graft.store.IcebergShaped.table(s8root).commit(storeFrame(spark, sfDir), cfg.configFp)
+    // S15 GC twin: the identical scenario, NOT collected — the oracle
+    // re-derives the survivor set (pre-GC dirs ∩ manifest-referenced dirs)
+    // from these raw listings, while q_store_gc reports what gcOrphans
+    // actually left on its own independently-built store
+    locally {
+      import spark.implicits._
+      val gcRoot = s"$auxDir/store_gc"
+      buildGcScenario(spark, sfDir, gcRoot)
+      gcDirLabels(gcRoot).map(_._1).toDF("dir_label")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/store_gc_dirs")
+      val tgc = graft.store.IcebergShaped.table(gcRoot)
+      (0 to tgc.currentVersion.get).flatMap { v =>
+        tgc.snapshotAt(v).files.map(f => (v, s"v$v", f.partId, f.rows))
+      }.toDF("version", "dir_label", "part_id", "rows")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/store_gc_manifest")
+    }
     res.pairs.select(col("url_a"), col("url_b"),
       col("sim_bits").cast("long").as("sim_bits"),
       col("len_mod").cast("long").as("len_mod"),
@@ -1177,6 +1255,21 @@ object SparkEntry {
         |FROM read_parquet('{AUX}/store_s8/data/*/*/*.parquet')
         |WHERE NOT (text_len % 3 = 0)
         |ORDER BY url""".stripMargin,
+
+    // S15 GC re-derived: survivors = pre-GC on-disk dirs that some manifest
+    // references, rows from the manifests of the aux twin (an independent
+    // commit of the same frame, so commit determinism rides along). The
+    // query side lists ACTUAL post-GC disk state; the collect/keep decision
+    // itself never crosses.
+    "q_store_gc" ->
+      """WITH dirs AS (SELECT dir_label
+        |              FROM read_parquet('{AUX}/store_gc_dirs/*.parquet')),
+        |m AS (SELECT dir_label, CAST(sum(rows) AS BIGINT) AS rows_total
+        |      FROM read_parquet('{AUX}/store_gc_manifest/*.parquet')
+        |      GROUP BY 1)
+        |SELECT d.dir_label, m.rows_total
+        |FROM dirs d JOIN m USING (dir_label)
+        |ORDER BY d.dir_label""".stripMargin,
 
     // X1/A4 SimHash construction re-derived wholesale: per-bit majority
     // votes over the raw shingle-hash arrays, the strict >0 rule, the

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    // default to the machine width: the round-5 query surface (55 oracles,
+    // default to the machine width: the round-5 query surface (56 oracles,
     // six mode pipelines, the incremental chain) is ~2× round 4's — at the
     // old 4-core default the dump wall time, not the engine, becomes the
     // correctness gate's bottleneck

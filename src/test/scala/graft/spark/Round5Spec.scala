@@ -99,3 +99,20 @@ class IncrementalScopedSpec extends AnyFunSuite {
     assert(clusterRows(r2.clusters) === clusterRows(r1.clusters))
   }
 }
+
+/** S15 GC end-to-end through the driver contract (q_store_gc): the scenario
+  * plants two crashed-commit debris dirs next to two committed snapshots;
+  * after gcOrphans the on-disk state must be exactly the two
+  * manifest-referenced dirs with their manifest row totals (a rows_total=-1
+  * row would mean debris survived GC; a missing row, a wrongly-collected
+  * live dir). */
+class StoreGcQuerySpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("q_store_gc leaves exactly the manifest-referenced dirs") {
+    val rows = graft.SparkEntry.queries("q_store_gc")(spark, "gcspec")
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_._1) === Seq("v0", "v1"))
+    assert(rows.forall(_._2 > 0L))
+  }
+}
