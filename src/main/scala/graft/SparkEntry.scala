@@ -223,10 +223,12 @@ object SparkEntry {
     * UNCAPPED chains in SQL — the selection decision never crosses to DuckDB,
     * only raw hash chains do. */
   /** S10 config fingerprints: variants that differ in fingerprint-affecting
-    * fields (mode, cap) — exactVerify/substringPass are deliberately absent
-    * from the stamp (they don't change stored signatures). */
+    * fields (mode, cap) — and, since mode-pruned persistence, in the stored
+    * payload schema: exactVerify/substringPass enter the stamp only through
+    * the payload marker (their stored rows are identical full-payload). */
   private def configFpVariants: Seq[(String, GraftConfig)] = Seq(
     "default" -> cfg,
+    "exact"   -> cfgExact,
     "grid2x2" -> cfgGrid,
     "grid4x3" -> cfgGrid43,
     "cap64"   -> cfg.copy(maxStoredShinglesPerSlot = sigCapTestCap))
@@ -1369,10 +1371,11 @@ object SparkEntry {
     // hashing shows up as a value mismatch, core/GraftConfig.scala:160-169)
     "q_config_fp" -> {
       def canon(c: GraftConfig): String =
-        s"graft3|k=${c.k}|perm=${c.numPerm}|mb=${c.minhashBands}|" +
+        s"graft4|k=${c.k}|perm=${c.numPerm}|mb=${c.minhashBands}|" +
           s"sb=${c.simhashBandBits}|mode=${c.samplingMode}|" +
           s"minShingles=${c.minDistinctShingles}|seed=${c.seed}|" +
-          s"ssmod=${c.shingleSampleMod}|cap=${c.maxStoredShinglesPerSlot}"
+          s"ssmod=${c.shingleSampleMod}|cap=${c.maxStoredShinglesPerSlot}|" +
+          s"payload=${if (c.exactVerify || c.substringPass) "full" else "pruned"}"
       val rows = configFpVariants
         .map { case (tag, c) => s"('$tag', '${canon(c)}')" }.mkString(", ")
       s"""SELECT tag, md5(str) AS fp FROM (VALUES $rows) AS t(tag, str)

@@ -160,10 +160,18 @@ final case class GraftConfig(
   def configFp: String = {
     // graft3: stored rows gained the pre-cap sampled ss_keys column, whose
     // content depends on shingleSampleMod (and, via the bottom-k sketch,
-    // maxStoredShinglesPerSlot) — both are now fingerprint-affecting
-    val s = s"graft3|k=$k|perm=$numPerm|mb=$minhashBands|sb=$simhashBandBits|" +
+    // maxStoredShinglesPerSlot) — both are now fingerprint-affecting.
+    // graft4: the persisted/committed row SCHEMA depends on whether the mode
+    // needs the raw shingle payload (Fingerprints.pruneForMode drops
+    // shingles_head/tail/ss_keys in fingerprint-only mode) — a pruned
+    // default-mode store must not satisfy a resume that needs those columns,
+    // and mixed-schema snapshots would break the store's unionByName read.
+    // exactVerify and substringPass share payload=full: their stored rows
+    // are identical, so either store satisfies the other's resume.
+    val payload = if (exactVerify || substringPass) "full" else "pruned"
+    val s = s"graft4|k=$k|perm=$numPerm|mb=$minhashBands|sb=$simhashBandBits|" +
       s"mode=$samplingMode|minShingles=$minDistinctShingles|seed=$seed|" +
-      s"ssmod=$shingleSampleMod|cap=$maxStoredShinglesPerSlot"
+      s"ssmod=$shingleSampleMod|cap=$maxStoredShinglesPerSlot|payload=$payload"
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

@@ -42,33 +42,14 @@ import graft.core.GraftConfig
 object Candidates {
 
   /** Band rows are slim — (band_id, key, id) only, where `id` is a dense
-    * dictionary long (see [[dictionary]]), NOT the url string. Scoring
+    * dictionary long (the order-preserving encoding built at the top of
+    * [[candidatePairs]]), NOT the url string. Scoring
     * payloads join back AFTER pair-dedup: the deduped pair count is orders of
     * magnitude smaller than the band-join volume, so two hash joins against a
     * slim signature projection beat carrying payload bytes through the
     * shuffle — and an 8-byte key through the band join + pair-dedup +
     * union-find shuffles beats a ~40-80-byte url severalfold on the
     * bandwidth-bound stages (round-4 scaling measurement). */
-
-  /** Order-preserving dense dictionary: id(url) = rank of url in the sorted
-    * distinct url set. Order isomorphism is load-bearing — min(id) of a set
-    * is min(url), and id_a < id_b iff url_a < url_b — so every downstream
-    * min/ordering decision (hub election, pair orientation, cluster_id =
-    * component min) is bit-identical to the url-keyed semantics after mapping
-    * back. The mapping is a pure function of the url SET (global sort rank),
-    * independent of input partitioning — the pairs-table determinism
-    * contract (SURVEY §5.7) survives the encoding.
-    *
-    * Cost: one range-shuffle + sort of the slim url column, and the
-    * partition-size count that zipWithIndex needs — both at rep volume,
-    * amortized against every wide shuffle downstream. */
-  def dictionary(urls: DataFrame): DataFrame = {
-    val spark = urls.sparkSession
-    import spark.implicits._
-    urls.select(col("url")).orderBy("url").as[String].rdd
-      .zipWithIndex()
-      .toDF("url", "id")
-  }
 
   /** Explode signatures (representatives, keyed by dictionary `id`) into band
     * rows. band_id layout: 0..B-1 simhash head slices, B..2B-1 simhash tail
@@ -147,9 +128,17 @@ object Candidates {
     // volume via the payload join-back.
     val spark = reps.sparkSession
     import spark.implicits._
-    // the sorted url RDD is read twice (zipWithIndex's partition-size job +
-    // the dictionary join) — persist for the window, released after bnds
-    // materializes everything downstream of it
+    // Order-preserving dense dictionary: id(url) = rank of url in the sorted
+    // rep url set. Order isomorphism is load-bearing — min(id) of a set is
+    // min(url), and id_a < id_b iff url_a < url_b — so every downstream
+    // min/ordering decision (hub election, pair orientation, cluster_id =
+    // component min) is bit-identical to the url-keyed semantics after
+    // mapping back. The mapping is a pure function of the url SET (global
+    // sort rank), independent of input partitioning — the pairs-table
+    // determinism contract (SURVEY §5.7) survives the encoding.
+    // The sorted url RDD is read twice (zipWithIndex's partition-size job +
+    // the dictionary join) — persist for the window, released after the
+    // rawPairs match below materializes everything downstream of it.
     val sortedUrls = reps.select(col("url")).orderBy("url").as[String].rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dict = sortedUrls.zipWithIndex().toDF("url", "id")
@@ -173,7 +162,10 @@ object Candidates {
     // sigs/reps/repSlim/bnds exactly once; every consumer then reads cached
     // blocks.
     bnds.count()
-    sortedUrls.unpersist(blocking = false)
+    // sortedUrls is released AFTER the rawPairs match below: the delta
+    // branch materializes its newIds set from the dictionary eagerly
+    // (newIds.count()), and an early release here would force that job to
+    // re-run the full-corpus sort
 
     // heavy-key detection, sampled by default: a full groupBy-count of the
     // band relation costs one more full shuffle; sampling finds every key
@@ -298,8 +290,13 @@ object Candidates {
         // the previous run's persisted pairs table (Pipeline.runIncremental
         // keeps them — candidate generation over unchanged reps is a pure
         // function of the rep set, so those rows cannot have changed).
+        // Persist + materialize the (increment-sized) id set while
+        // sortedUrls is still cached: every later consumer (bndsNew,
+        // na/nb) otherwise re-runs the dictionary's full-corpus sort.
         val newIds = dict.join(nu.select("url"), Seq("url"), "left_semi")
           .select("id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        newIds.count()
         val bndsNew = bnds.join(newIds, Seq("id"), "left_semi")
         val lightNew = bndsNew.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
         val lightDelta = light.withColumnRenamed("id", "id_x")
@@ -323,15 +320,21 @@ object Candidates {
         val touchedHeavy = heavyKeys
           .join(bndsNew.select("band_id", "key").distinct(), Seq("band_id", "key"), "left_semi")
         val heavyRows = bnds.join(broadcast(touchedHeavy), Seq("band_id", "key"), "left_semi")
+        // no explicit broadcast hint on the new-id flags: an explicit hint
+        // cannot be demoted at runtime, so a LARGE increment (the id set is
+        // increment-sized, not bounded) would OOM instead of falling back;
+        // the join keys are slim longs at topology volume, and AQE
+        // broadcasts the small-increment case on its own.
         val na = newIds.select(col("id").as("id_a"), lit(true).as("__na"))
         val nb = newIds.select(col("id").as("id_b"), lit(true).as("__nb"))
         val heavyDelta = heavyPairGen(heavyRows)
-          .join(broadcast(na), Seq("id_a"), "left")
-          .join(broadcast(nb), Seq("id_b"), "left")
+          .join(na, Seq("id_a"), "left")
+          .join(nb, Seq("id_b"), "left")
           .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
           .drop("__na", "__nb")
         lightDelta.unionByName(heavyDelta)
     }
+    sortedUrls.unpersist(blocking = false)
 
     // J3 pair dedup (a pair can collide in several bands); remember whether
     // any colliding band was the sampled-shingle family (substring gate).

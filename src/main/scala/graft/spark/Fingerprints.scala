@@ -200,8 +200,9 @@ object Fingerprints {
     * (Candidates.bands) — so dropping them from the persisted/committed rows
     * removes the dominant payload bytes (2x cap + sample longs per row) from
     * the cache and the store write path of a bandwidth-bound workload.
-    * configFp already distinguishes modes, so stored schemas stay consistent
-    * per config. */
+    * configFp carries a payload=full/pruned marker for exactly this schema
+    * split, so a pruned store can never satisfy a resume that needs the
+    * shingle columns, and every store holds a single schema. */
   def pruneForMode(sigs: DataFrame, cfg: GraftConfig): DataFrame =
     if (cfg.exactVerify || cfg.substringPass) sigs
     else sigs.drop("shingles_head", "shingles_tail", "ss_keys")

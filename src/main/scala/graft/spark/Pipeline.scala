@@ -95,9 +95,16 @@ object Pipeline {
     *     (Clusters.spliceAssign) — at 10^12 docs with small daily appends the
     *     re-cluster cost tracks the increment, not the corpus.
     *
-    * The result is EXACTLY the one-shot assignment (see spliceAssign's
-    * correctness note; pair-table parity additionally requires the
-    * salted-triangle heavy routing — see candidatePairs' delta note).
+    * Parity with a fresh one-shot run: EXACT (pairs table and assignment)
+    * under salted-triangle heavy routing (heavyKeyStar = false) — see
+    * spliceAssign's correctness note and candidatePairs' delta note. Under
+    * the default star routing, an increment that touches a heavy band key
+    * additionally KEEPS the previous run's old-old star/path links; the
+    * edge set is a superset of the one-shot topology's, so clusters can
+    * only coarsen, and only when a kept old edge is matched while every
+    * one-shot path between its endpoints has an unmatched link — an
+    * adversarial length-modifier asymmetry inside a near-identical
+    * boilerplate group, not a shape this corpus produces.
     * substringPass callers must pass `pages` spanning BOTH sides of possible
     * pairs (the live page source), not just the increment batch.
     *

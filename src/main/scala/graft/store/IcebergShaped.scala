@@ -84,7 +84,12 @@ object IcebergShaped {
         .map { case (base, fs) =>
           spark.read.option("basePath", base).parquet(fs.map(_.path): _*)
         }
-        .reduce(_ unionByName _)
+        // allowMissingColumns: one store may hold snapshots of BOTH payload
+        // schemas (mode-pruned rows lack shingles_head/tail/ss_keys) when
+        // configs with different payload markers share it — absent columns
+        // read as null, and the caller's config_fp filter keeps only rows
+        // whose schema is complete for that config
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }
 
     /** Per-partition lineage of the current snapshot chain: rows per part_id

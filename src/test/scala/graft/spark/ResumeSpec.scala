@@ -95,6 +95,27 @@ class ResumeSpec extends AnyFunSuite {
     assert(viaExpr === viaScala)
   }
 
+  test("mode switch on a shared store: pruned rows never satisfy a " +
+    "full-payload resume, and the mixed-schema store stays readable") {
+    val store = tmpStore()
+    val pages = CorpusSpark.pages(spark, 200L, 4, cfg.seed)
+    // default mode commits PRUNED rows (no shingles_head/tail/ss_keys)
+    Resume.incrementalFingerprints(pages, store, cfg)
+    assert(!store.read(spark).columns.contains("shingles_head"))
+    // exact mode must NOT reuse them (payload marker splits the config_fp):
+    // a reuse here would hand Pairs.verifyJoin rows with no shingle columns
+    val cfgX = cfg.copy(exactVerify = true)
+    val r = Resume.incrementalFingerprints(pages, store, cfgX)
+    assert(r.skipped === 0L)
+    assert(r.newlyFingerprinted > 0L)
+    // the store now holds snapshots of BOTH schemas; the live read must
+    // still work and the exact-config rows must carry their shingle payload
+    val live = r.signatures.filter(col("config_fp") === cfgX.configFp)
+    assert(live.columns.contains("shingles_head"))
+    assert(live.filter(col("reject_reason").isNull)
+      .filter(col("shingles_head").isNull).count() === 0L)
+  }
+
   /** Case-variant url duplicates dropped by F1 in [0, n). */
   private def caseDups(n: Long): Long =
     (0L until n).count(i => graft.data.Corpus.kindOf(i).isInstanceOf[graft.data.Corpus.CaseUrlDup])
