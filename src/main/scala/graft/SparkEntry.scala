@@ -1375,6 +1375,7 @@ object SparkEntry {
           s"sb=${c.simhashBandBits}|mode=${c.samplingMode}|" +
           s"minShingles=${c.minDistinctShingles}|seed=${c.seed}|" +
           s"ssmod=${c.shingleSampleMod}|cap=${c.maxStoredShinglesPerSlot}|" +
+          s"short=${c.shortSlotShingles}|" +
           s"payload=${if (c.exactVerify || c.substringPass) "full" else "pruned"}"
       val rows = configFpVariants
         .map { case (tag, c) => s"('$tag', '${canon(c)}')" }.mkString(", ")

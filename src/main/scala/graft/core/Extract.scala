@@ -61,11 +61,20 @@ object Extract {
     if (s.indexOf('&') < 0) return s
     val numDone = NumEntity.replaceAllIn(s, m => {
       val body = m.group(1)
+      // out-of-range numeric entities (beyond Int, or not a valid code
+      // point) are left VERBATIM, the browser behavior — web input is
+      // arbitrary and a malformed '&#99999999999;' in one page must not
+      // throw inside the per-row fingerprint map and fail the task
       val cp =
-        if (body.charAt(0) == 'x' || body.charAt(0) == 'X')
-          Integer.parseInt(body.substring(1), 16)
-        else Integer.parseInt(body)
-      scala.util.matching.Regex.quoteReplacement(new String(Character.toChars(cp)))
+        try {
+          if (body.charAt(0) == 'x' || body.charAt(0) == 'X')
+            Integer.parseInt(body.substring(1), 16)
+          else Integer.parseInt(body)
+        } catch { case _: NumberFormatException => -1 }
+      if (cp < 0 || !Character.isValidCodePoint(cp))
+        scala.util.matching.Regex.quoteReplacement(m.matched)
+      else
+        scala.util.matching.Regex.quoteReplacement(new String(Character.toChars(cp)))
     })
     numDone
       .replace("&lt;", "<")

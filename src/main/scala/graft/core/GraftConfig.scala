@@ -87,9 +87,15 @@ final case class GraftConfig(
     /** Cap on stored shingle hashes per slot (X12 analog: the reference
       * degrades stored JPEG quality above 200k videos, video.cpp:10-11 —
       * here giant documents store a bottom-k sketch instead of the full
-      * shingle set; SimHash/MinHash are computed on the FULL set first, and
-      * exact-verify Jaccard between two bottom-k sketches remains an
-      * unbiased estimate). */
+      * shingle set; SimHash/MinHash are computed on the FULL set first).
+      * Exact-verify Jaccard between two INDEPENDENTLY-capped sketches is a
+      * good estimate when both sets are near the cap, but it is NOT the
+      * textbook unbiased bottom-k estimator (that one intersects within the
+      * bottom-k of the UNION): a size-skewed pair — one doc far over the
+      * cap, the other under — systematically underestimates, because most
+      * of the small doc's elements fall outside the giant's bottom-k. Docs
+      * under the cap (the overwhelming mass at this default) verify on
+      * their exact full sets. */
     maxStoredShinglesPerSlot: Int = 8192,
     /** Optional source-level language filter (S2 analog: the reference's
       * extension filter, extensions.ini + mainwindow.cpp:74-93). Applied as
@@ -168,10 +174,14 @@ final case class GraftConfig(
     // and mixed-schema snapshots would break the store's unionByName read.
     // exactVerify and substringPass share payload=full: their stored rows
     // are identical, so either store satisfies the other's resume.
+    // shortSlotShingles gates which docs get populated mh_rescue_head/tail
+    // arrays — a stored row computed under a different gate would carry the
+    // wrong rescue bands, so it is fingerprint-affecting too
     val payload = if (exactVerify || substringPass) "full" else "pruned"
     val s = s"graft4|k=$k|perm=$numPerm|mb=$minhashBands|sb=$simhashBandBits|" +
       s"mode=$samplingMode|minShingles=$minDistinctShingles|seed=$seed|" +
-      s"ssmod=$shingleSampleMod|cap=$maxStoredShinglesPerSlot|payload=$payload"
+      s"ssmod=$shingleSampleMod|cap=$maxStoredShinglesPerSlot|" +
+      s"short=$shortSlotShingles|payload=$payload"
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

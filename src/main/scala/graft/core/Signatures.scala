@@ -149,12 +149,43 @@ object DocSignatures {
   }
 }
 
+/** String ordering identical to Spark's UTF8String binary comparison
+  * (byte-wise unsigned over the UTF-8 encoding) == code-point order. Java's
+  * String.compareTo ranks UTF-16 surrogates (supplementary-plane chars,
+  * 0xD800-0xDFFF) BELOW U+E000..U+FFFF, the opposite of byte order — so any
+  * local min-url election (UnionFind roots) must use THIS ordering to agree
+  * with the distributed paths' min(url)/dictionary sort on non-BMP urls.
+  * Comparison is allocation-free: per-char with the standard surrogate
+  * shift (surrogate block +0x2000, >= U+E000 block -0x800). */
+object Utf8Ordering extends Ordering[String] {
+  def compare(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      var ca = a.charAt(i).toInt
+      var cb = b.charAt(i).toInt
+      if (ca != cb) {
+        if (ca >= 0xd800 && cb >= 0xd800) {
+          ca += (if (ca < 0xe000) 0x2000 else -0x800)
+          cb += (if (cb < 0xe000) 0x2000 else -0x800)
+        }
+        return ca - cb
+      }
+      i += 1
+    }
+    a.length - b.length
+  }
+}
+
 /** Local union-find with path compression — the small-scale oracle for the
   * distributed connected-components operator (SURVEY §2.9 C1). The reference
   * never materializes clusters (the human walks matching pairs transitively,
   * comparison.cpp:101-126); the north rule makes the transitive closure
   * explicit, and this is its sequential ground truth.
-  */
+  *
+  * For T = String, pass [[Utf8Ordering]] explicitly wherever the result must
+  * agree with Spark-side min(url) elections (the default Ordering[String] is
+  * UTF-16 order, which diverges on supplementary-plane characters). */
 final class UnionFind[T] {
   private val parent = scala.collection.mutable.HashMap.empty[T, T]
 

@@ -91,6 +91,10 @@ object Clusters {
       // job-per-partition driver fan-out
       val labeled =
         if (stringNodes) {
+          // Utf8Ordering: the local root election must agree with the
+          // distributed rounds' min(url) (Spark UTF8-binary order) on
+          // non-BMP urls, or the hybrid switch changes cluster_ids
+          implicit val ord: Ordering[String] = graft.core.Utf8Ordering
           val uf = new graft.core.UnionFind[String]
           val nodes = scala.collection.mutable.ArrayBuffer.empty[String]
           e.select(col("u"), col("v")).as[(String, String)].collect()
@@ -128,9 +132,18 @@ object Clusters {
       val (c2, s2, b2) = signature(edges)
       if (fitsLocal(c2, b2)) return localFinish(edges)
       converged = (c2, s2) == (cnt, sig)
-      cnt = c2; sig = s2; bytes = b2
+      cnt = c2; sig = s2
       rounds += 1
     }
+    // a non-converged edge set is NOT a star forest — labeling it below
+    // would silently assign non-minimal roots; fail loudly instead (star
+    // rounds converge in O(log n), so exhausting maxRounds means a bug or a
+    // pathological graph the caller must know about)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds star rounds " +
+          s"($cnt edges remain) — raise maxRounds; labeling a non-star edge " +
+          "set would produce wrong cluster ids")
     // stars: v is the root (= component min); roots label themselves
     edges.select(col("u").as("url"), col("v").as("cluster_id"))
       .union(edges.select(col("v").as("url"), col("v").as("cluster_id")))
@@ -228,10 +241,14 @@ object Clusters {
     val affectedMembers = prevAssign
       .join(affectedRoots, Seq("cluster_id"), "left_semi")
     // prev edges live entirely inside one component, so one endpoint decides
+    // persisted: connectedComponents materializes its own deduped CHECKPOINT
+    // of this frame, so without the persist the reclusterEdges count below
+    // would re-execute the whole anti/semi-join/union plan a second time
     val subEdges = keptPrev
       .join(affectedMembers.select(col("url").as("url_a")), Seq("url_a"), "left_semi")
       .unionByName(deltaMatched.select(col("url_a"), col("url_b")))
       .select(col("url_a").as("u"), col("url_b").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comp = connectedComponents(subEdges)
 
     val untouched = prevAssign.join(affectedRoots, Seq("cluster_id"), "left_anti")
@@ -241,13 +258,13 @@ object Clusters {
         Seq("url"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("url")))
 
-    // scale evidence (cheap: subEdges was just materialized inside
-    // connectedComponents' signature job; these two aggregates run at
-    // affected volume)
+    // scale evidence (cheap: subEdges is persisted above, so this count
+    // reads cached blocks; the aggregates run at affected volume)
     val nEdges = subEdges.count()
     val nAffected = affectedRoots.count()
     val nUntouched = untouched.select("cluster_id").distinct().count()
     affectedRoots.unpersist(blocking = false)
+    subEdges.unpersist(blocking = false)
     Splice(assign, nEdges, nAffected, nUntouched)
   }
 

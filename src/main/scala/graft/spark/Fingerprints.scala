@@ -162,11 +162,17 @@ object Fingerprints {
     * set is small, which it virtually always is). */
   def dropCaseDuplicateUrls(pages: DataFrame): DataFrame = {
     val w = Window.partitionBy(lower(col("url"))).orderBy(col("warc_ts"), col("url"))
+    // losers are keyed by (url, warc_ts), not url alone: a SAME-url re-crawl
+    // inside one batch shares the winner's url, and a url-only anti-join
+    // would remove the winner along with its loser — dropping the document
+    // entirely instead of keeping the earliest row. (Rows identical in BOTH
+    // url and warc_ts — duplicate crawl records — are an upstream ingest
+    // concern; this rule keeps the earliest distinct (url, warc_ts).)
     val losers = pages.select(col("url"), col("warc_ts"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") > 1)
-      .select(col("url"))
-    pages.join(losers, Seq("url"), "left_anti")
+      .select(col("url"), col("warc_ts"))
+    pages.join(losers, Seq("url", "warc_ts"), "left_anti")
   }
 
   /** The fingerprint stage — one narrow select over the native

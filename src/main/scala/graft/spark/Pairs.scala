@@ -67,7 +67,13 @@ object Pairs {
         col("jaccard").isNotNull && col("sim_bits") >= gate &&
           col("jaccard") + col("len_mod") / lit(64.0) > jacThr
       else col("sim_bits") >= simBitsThr
-    pairs.withColumn("matched", m)
+    // substring matches are SLIDER-INDEPENDENT (overlap_len >= the config's
+    // minSubstringOverlap, not a function of the threshold) — re-deriving
+    // matched from sim_bits/jaccard alone would silently un-match them
+    val m2 =
+      if (pairs.columns.contains("via")) m || (col("via") === lit("substring"))
+      else m
+    pairs.withColumn("matched", m2)
   }
 
   /** W2 progress position (reference: comparison.cpp:366-373 computes
@@ -178,10 +184,16 @@ object Pairs {
 
     val verified = verifyJoin(needVerify, signatures, cfg, jacThr)
     val all = untouched.select(verified.columns.map(col): _*).unionByName(verified)
-    // final decision at the new slider value over the (now complete) measures
+    // final decision at the new slider value over the (now complete)
+    // measures; substring matches (overlap_len criterion) are
+    // slider-independent and carry through unchanged
+    val sub =
+      if (all.columns.contains("overlap_len"))
+        coalesce(col("overlap_len") >= cfg.minSubstringOverlap, lit(false))
+      else lit(false)
     all.withColumn("matched",
-      col("jaccard").isNotNull && col("sim_bits") >= newGate &&
-        col("jaccard") + col("len_mod") / lit(64.0) > jacThr)
+      (col("jaccard").isNotNull && col("sim_bits") >= newGate &&
+        col("jaccard") + col("len_mod") / lit(64.0) > jacThr) || sub)
   }
 
   /** Suffix-array substring pass (SURVEY §2.8 V4): candidate pairs that came
@@ -202,8 +214,16 @@ object Pairs {
     // incremental run where `pages` is only the current batch while pairs
     // span the full live store) is RETAINED as unmatched with a null
     // overlap_len — an inner join would silently drop the scored pair.
-    val txtA = pages.select(col("url").as("url_a"), col("text").as("text_a"))
-    val txtB = pages.select(col("url").as("url_b"), col("text").as("text_b"))
+    // The text source is deduped with the SAME rule as the fingerprint path:
+    // raw pages may carry a url twice (re-crawl in one batch), and a
+    // multi-row url would fan every pair touching it into N rows with
+    // possibly contradictory verdicts. A bare (url, text) source without
+    // warc_ts is taken as already one-row-per-url.
+    val src =
+      if (pages.columns.contains("warc_ts")) Fingerprints.dropCaseDuplicateUrls(pages)
+      else pages
+    val txtA = src.select(col("url").as("url_a"), col("text").as("text_a"))
+    val txtB = src.select(col("url").as("url_b"), col("text").as("text_b"))
     val checked = candidates
       .join(txtA, Seq("url_a"), "left").join(txtB, Seq("url_b"), "left")
       .withColumn("overlap_len",

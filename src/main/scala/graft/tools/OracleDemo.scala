@@ -35,6 +35,7 @@ object OracleDemo {
 
     // reference loop shape: upper-triangle all pairs (comparison.cpp:34-42)
     val t1 = System.nanoTime()
+    implicit val ord: Ordering[String] = graft.core.Utf8Ordering
     val uf = new UnionFind[String]
     var pairs = 0
     for (a <- valid.indices; b <- (a + 1) until valid.size) {

@@ -36,6 +36,10 @@ object OracleTruth {
     val validNonEmpty = valid.filter(_._2.textLen > 0)
     val rejectedAll = rejected.map(_._1) ++ valid.filter(_._2.textLen == 0).map(_._1)
 
+    // Utf8Ordering everywhere a min/orientation is decided: the ground
+    // truth must rank urls exactly like the Spark paths (UTF8 binary),
+    // which diverges from Java compareTo on supplementary-plane urls
+    implicit val ord: Ordering[String] = graft.core.Utf8Ordering
     val uf = new UnionFind[String]
     val pairs = scala.collection.mutable.Set.empty[(String, String)]
     val arr = validNonEmpty.toArray
@@ -45,7 +49,7 @@ object OracleTruth {
         sa.simhashHead, sa.simhashTail, sb.simhashHead, sb.simhashTail,
         sa.textLen, sb.textLen, cfg)
       if (Similarity.matchesSimhash(sim, cfg)) {
-        val p = if (ua < ub) (ua, ub) else (ub, ua)
+        val p = if (ord.lt(ua, ub)) (ua, ub) else (ub, ua)
         pairs += p
         uf.union(ua, ub)
       }

@@ -116,3 +116,54 @@ class StoreGcQuerySpec extends AnyFunSuite {
     assert(rows.forall(_._2 > 0L))
   }
 }
+
+/** Hardening cases from the round-5 kernel review. */
+class KernelHardeningSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  test("dropCaseDuplicateUrls keeps the earliest SAME-url re-crawl " +
+    "instead of dropping the document entirely") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a/x", Timestamp.valueOf("2026-01-01 00:00:00"), "old"),
+      ("https://a/x", Timestamp.valueOf("2026-01-02 00:00:00"), "new"),
+      ("https://A/X", Timestamp.valueOf("2026-01-03 00:00:00"), "case-dup"),
+      ("https://b/y", Timestamp.valueOf("2026-01-01 00:00:00"), "only")
+    ).toDF("url", "warc_ts", "text")
+    val kept = Fingerprints.dropCaseDuplicateUrls(pages)
+      .select("url", "text").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept === Set(("https://a/x", "old"), ("https://b/y", "only")))
+  }
+
+  test("unescape leaves malformed/out-of-range numeric entities verbatim") {
+    import graft.core.Extract
+    assert(Extract.unescape("a&#65;b") === "aAb")
+    assert(Extract.unescape("a&#99999999999;b") === "a&#99999999999;b")
+    assert(Extract.unescape("a&#x110000;b") === "a&#x110000;b")
+    assert(Extract.unescape("a&#x10FFFF;b") ===
+      "a" + new String(Character.toChars(0x10FFFF)) + "b")
+  }
+
+  test("rethreshold preserves slider-independent substring matches") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("u1", "u2", 20, true, "substring"),
+      ("u3", "u4", 20, false, "fingerprint"),
+      ("u5", "u6", 60, true, "fingerprint")
+    ).toDF("url_a", "url_b", "sim_bits", "matched", "via")
+    val re = Pairs.rethreshold(pairs, 89) // 57/64 bits
+    val m = re.orderBy("url_a").collect().map(_.getAs[Boolean]("matched")).toSeq
+    assert(m === Seq(true, false, true))
+  }
+
+  test("Utf8Ordering ranks supplementary-plane above U+E000..U+FFFF " +
+    "(Spark UTF8 binary order, unlike Java compareTo)") {
+    val smiley = new String(Character.toChars(0x1F600)) // surrogate pair
+    val pua = "\uE000" // private-use area, below surrogates in UTF-16
+    assert(graft.core.Utf8Ordering.compare(pua, smiley) < 0)
+    assert(Ordering.String.compare(pua, smiley) > 0) // Java order disagrees
+    assert(graft.core.Utf8Ordering.compare("abc", "abd") < 0)
+    assert(graft.core.Utf8Ordering.compare("ab", "abc") < 0)
+    assert(graft.core.Utf8Ordering.compare("same", "same") === 0)
+  }
+}
