@@ -105,7 +105,9 @@ object Bench {
     val errors = scala.collection.mutable.Map.empty[String, String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     var sweepSec = 0.0
-    if (!skipQueries) SparkEntry.queries.foreach { case (name, fn) =>
+    // alphabetical sweep: the map's hash order is stable but arbitrary, and
+    // a budget cut should truncate at a predictable, documented point
+    if (!skipQueries) SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       if (sweepSec >= sweepBudgetSec) skipped += name
       else {
         val t0 = System.nanoTime()

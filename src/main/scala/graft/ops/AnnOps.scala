@@ -20,13 +20,24 @@ import graft.core.XXH64
   */
 object AnnOps {
 
-  private def withNorm(emb: DataFrame, idCol: String): DataFrame =
+  // private[ops]: DedupOps.embeddingCosineDup shares these (one definition
+  // of norm/cosine/probing for every embedding operator — a fix to one must
+  // reach all)
+  private[ops] def withNorm(emb: DataFrame, idCol: String): DataFrame =
     emb.select(col(idCol), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
 
-  private def cosine = (vA: org.apache.spark.sql.Column, vB: org.apache.spark.sql.Column,
-                        nA: org.apache.spark.sql.Column, nB: org.apache.spark.sql.Column) =>
+  private[ops] def cosine = (vA: org.apache.spark.sql.Column, vB: org.apache.spark.sql.Column,
+                             nA: org.apache.spark.sql.Column, nB: org.apache.spark.sql.Column) =>
     aggregate(zip_with(vA, vB, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / (nA * nB)
+
+  /** Multi-probe bucket key: probe < 0 keeps the original bucket, probe b
+    * flips bit b. The probe column must be named exactly "probe" (a variable
+    * shift amount has no Column-typed builtin, so the shift is an expr). */
+  private[ops] def probedBucket(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(col("probe") < 0, bucket)
+      .otherwise(bucket.bitwiseXOR(
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(probe AS INT))")))
 
   /** Exact cosine top-k neighbors for the query set (default: vec_id < nQueries). */
   def bruteTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10): DataFrame = {
@@ -95,10 +106,7 @@ object AnnOps {
     val probeKeys = array((lit(-1) +: (0 until probes).map(lit)): _*)
     val qBuckets = sk.filter(col("vec_id") < nQueries)
       .withColumn("probe", explode(probeKeys))
-      .withColumn("bucket",
-        when(col("probe") < 0, col("bucket"))
-          .otherwise(col("bucket").bitwiseXOR(
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(probe AS INT))"))))
+      .withColumn("bucket", probedBucket(col("bucket")))
       .select(col("vec_id").as("query_id"), col("bucket"))
     val candIds = qBuckets.join(sk.select(col("vec_id"), col("bucket")), "bucket")
       .filter(col("query_id") =!= col("vec_id"))

@@ -45,11 +45,27 @@ object DedupOps {
     * flags rather than collapsing to one representative. */
   def exactDedup(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("content_md5")).orderBy(col("doc_id"))
+    // null text -> null content_md5: UNKNOWN content, never a proven
+    // duplicate of anything — each such row is its own canonical singleton
+    // (the window would otherwise pool all null hashes into one group and
+    // mark distinct unknown documents as duplicates of each other)
     docs.select(col("doc_id"), md5(to_binary(col("text"), lit("utf-8"))).as("content_md5"))
-      .withColumn("dup_rank", row_number().over(w).cast("long"))
+      .withColumn("dup_rank",
+        when(col("content_md5").isNull, lit(1L))
+          .otherwise(row_number().over(w).cast("long")))
       .withColumn("is_canonical", col("dup_rank") === 1L)
       .orderBy("doc_id")
   }
+
+  /** Dense r=2 minhash band keys from a signature — ONE definition for every
+    * banded operator here (splitNgramBands + ngramJaccard): a drift between
+    * copies would silently change candidate recall for one operator only.
+    * Null signature (too few shingles) -> no band keys. */
+  private def bandKeysR2(sig: Array[Long], cfg: GraftConfig): Array[Long] =
+    if (sig == null) Array.emptyLongArray
+    else Array.tabulate(cfg.numPerm / 2) { b =>
+      XXH64.hashLong(sig(2 * b + 1), XXH64.hashLong(sig(2 * b), cfg.seed + b))
+    }
 
   /** Per-doc fingerprint record used by the near-dup variants. */
   private[ops] final case class DocFp(
@@ -194,12 +210,7 @@ object DedupOps {
           i += 1
         }
         val sig = mh.signature(hashes.toArray)
-        val bands: Array[Long] =
-          if (sig == null) Array.emptyLongArray
-          else Array.tabulate(cfg.numPerm / 2) { b =>
-            XXH64.hashLong(sig(2 * b + 1), XXH64.hashLong(sig(2 * b), cfg.seed + b))
-          }
-        (id, bands)
+        (id, bandKeysR2(sig, cfg))
       }
     }.toDF("doc_id", "bands")
   }
@@ -235,7 +246,15 @@ object DedupOps {
   /** Exact n-gram overlap for pairs within a blocking key, as INTEGER
     * (intersection, union) sizes at jaccard >= jacNum/jacDen — the
     * SQL-oracle-friendly face of `ngramJaccard` (same all-pairs-within-block
-    * shape, built-ins only so whole-stage codegen applies end-to-end). */
+    * shape, built-ins only so whole-stage codegen applies end-to-end).
+    *
+    * BY DESIGN all-pairs within each block (the exact verifier): there is no
+    * maxBlockRows fallback here — a hot blocking key goes quadratic on one
+    * join key. Callers with unbounded block sizes want `ngramJaccard` (its
+    * banded in-block fallback bounds the hot key) and this only on the
+    * survivors. NULL blocking keys pair with nothing (SQL equi-join
+    * semantics): a null block means "unblocked", not "one shared block" —
+    * same rule in ngramJaccard and embeddingCosineDup's blockCol path. */
   def ngramOverlapExact(docs: DataFrame, blockCol: String, n: Int = 3,
                         jacNum: Int = 1, jacDen: Int = 20): DataFrame = {
     val sets = docs.select(col(blockCol).as("block"), col("doc_id"),
@@ -276,12 +295,7 @@ object DedupOps {
         it.map { case (block, id, text) =>
           val ngrams = sh.hashes(Extract.tokens(text))
           val sig = mh.signature(ngrams)
-          val bands: Array[Long] =
-            if (sig == null) Array.emptyLongArray
-            else Array.tabulate(cfg.numPerm / 2) { b =>
-              XXH64.hashLong(sig(2 * b + 1), XXH64.hashLong(sig(2 * b), cfg.seed + b))
-            }
-          (block, id, ngrams, bands)
+          (block, id, ngrams, bandKeysR2(sig, cfg))
         }
       }.toDF("block", "doc_id", "ngrams", "bands")
     registerPersist(withNgrams)
@@ -361,11 +375,7 @@ object DedupOps {
           val sk = AnnOps.hyperplaneSketch(emb, nBits, seed + 7919L * r)
           sk.withColumn("probe", explode(array((lit(-1) +: (0 until nBits).map(lit)): _*)))
             .withColumn("block",
-              concat(lit(s"$r:"),
-                when(col("probe") < 0, col("bucket"))
-                  .otherwise(col("bucket").bitwiseXOR(
-                    expr("shiftleft(CAST(1 AS BIGINT), CAST(probe AS INT))")))
-                  .cast("string")))
+              concat(lit(s"$r:"), AnnOps.probedBucket(col("bucket")).cast("string")))
             .select(col("vec_id"), col("block"))
         }.reduce(_ unionByName _)
     }
@@ -375,14 +385,13 @@ object DedupOps {
       .filter(col("vec_id_a") < col("vec_id_b"))
       .select("vec_id_a", "vec_id_b").distinct()
 
-    val base = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+    // norm + cosine are AnnOps' single definitions, not a local re-derivation
+    val base = AnnOps.withNorm(emb, "vec_id")
     val va = base.toDF("vec_id_a", "v_a", "norm_a")
     val vb = base.toDF("vec_id_b", "v_b", "norm_b")
     candIds.join(va, "vec_id_a").join(vb, "vec_id_b")
-      .withColumn("dot", aggregate(zip_with(col("v_a"), col("v_b"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x))
-      .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))
+      .withColumn("cosine",
+        AnnOps.cosine(col("v_a"), col("v_b"), col("norm_a"), col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select("vec_id_a", "vec_id_b", "cosine")
       .orderBy("vec_id_a", "vec_id_b")

@@ -32,6 +32,11 @@ object IcebergShaped {
   final case class Snapshot(
       snapshotId: Long,
       parentId: Option[Long],
+      // the parent's manifest VERSION: the chain walk follows this, so a
+      // commit on top of a rollback branches correctly instead of walking
+      // version-1 through abandoned snapshots (None in pre-branching
+      // manifests -> the walk falls back to version-1, their linear truth)
+      parentVersion: Option[Int] = None,
       version: Int,
       configFp: String,
       operation: String, // append | overwrite
@@ -54,19 +59,24 @@ object IcebergShaped {
 
     def currentSnapshot: Option[Snapshot] = currentVersion.map(snapshotAt)
 
-    /** All live data files = union over the snapshot chain (append log). */
-    def liveFiles: List[FileEntry] = currentSnapshot match {
-      case None => Nil
-      case Some(s) if s.operation == "overwrite" => s.files
-      case Some(s) =>
-        // walk parents until an overwrite (or root)
-        def chain(sn: Snapshot): List[FileEntry] = sn.parentId match {
-          case Some(_) if sn.operation != "overwrite" =>
-            chain(snapshotAt(sn.version - 1)) ++ sn.files
-          case _ => sn.files
-        }
-        chain(s)
+    /** Live data files TAGGED with the snapshot that added each (the chain
+      * walk follows parentVersion — see Snapshot). */
+    def liveFilesTagged: List[(Snapshot, FileEntry)] = {
+      def chain(sn: Snapshot): List[(Snapshot, FileEntry)] = sn.parentId match {
+        case Some(_) if sn.operation != "overwrite" =>
+          chain(snapshotAt(sn.parentVersion.getOrElse(sn.version - 1))) ++
+            sn.files.map((sn, _))
+        case _ => sn.files.map((sn, _))
+      }
+      currentSnapshot match {
+        case None => Nil
+        case Some(s) if s.operation == "overwrite" => s.files.map((s, _))
+        case Some(s) => chain(s)
+      }
     }
+
+    /** All live data files = union over the snapshot chain (append log). */
+    def liveFiles: List[FileEntry] = liveFilesTagged.map(_._2)
 
     def isEmpty: Boolean = liveFiles.isEmpty
 
@@ -93,11 +103,12 @@ object IcebergShaped {
     }
 
     /** Per-partition lineage of the current snapshot chain: rows per part_id
-      * per snapshot file — the north-rule "per-partition lineage" surface. */
+      * per snapshot file, stamped with the snapshot that ADDED the file
+      * (not the current pointer) — the north-rule "per-partition lineage"
+      * surface answers "which snapshot introduced this file". */
     def lineage(spark: SparkSession): DataFrame = {
       import spark.implicits._
-      val cur = currentSnapshot
-      liveFiles.map(f => (cur.map(_.snapshotId).getOrElse(-1L), f.partId, f.path, f.rows))
+      liveFilesTagged.map { case (sn, f) => (sn.snapshotId, f.partId, f.path, f.rows) }
         .toDF("snapshot_id", "part_id", "file", "rows")
     }
 
@@ -109,7 +120,25 @@ object IcebergShaped {
       require(df.columns.contains("part_id"), "store tables are partitioned by part_id")
       Files.createDirectories(metaDir)
       val prev = currentSnapshot
-      val version = currentVersion.getOrElse(-1) + 1
+      // next FREE version, not current+1: after rollback(v) the pointer sits
+      // below existing manifests, and current+1 would re-derive an existing
+      // snapshotId — SaveMode.Overwrite would then wipe an "immutable" data
+      // dir that later manifests still reference. Branch commits get a fresh
+      // version; the chain walks parentVersion, so abandoned branches stay
+      // intact for time travel.
+      val version = {
+        val existing = {
+          val ms = Files.list(metaDir)
+          try {
+            import scala.jdk.CollectionConverters._
+            ms.iterator().asScala.map(_.getFileName.toString)
+              .collect { case n if n.matches("v\\d+\\.json") =>
+                n.stripPrefix("v").stripSuffix(".json").toInt }
+              .maxOption.getOrElse(-1)
+          } finally ms.close()
+        }
+        existing + 1
+      }
       val snapshotId = math.abs(
         graft.core.XXH64.hashString(s"$root#$version", 42L)) | 1L
       val dataDir = Paths.get(root, "data", s"snap-$snapshotId")
@@ -179,8 +208,8 @@ object IcebergShaped {
       val added = files.map(_.rows).sum
       val total = (if (operation == "overwrite") 0L
                    else prev.map(_.totalRows).getOrElse(0L)) + added
-      val snap = Snapshot(snapshotId, prev.map(_.snapshotId), version, configFp,
-        operation, added, total, files)
+      val snap = Snapshot(snapshotId, prev.map(_.snapshotId), prev.map(_.version),
+        version, configFp, operation, added, total, files)
 
       Files.writeString(metaDir.resolve(s"v$version.json"), Serialization.write(snap))
       val tmp = metaDir.resolve(s"current.json.tmp$version")
@@ -195,7 +224,10 @@ object IcebergShaped {
       * overwrite snapshot of the filtered live table. The input files stay
       * immutable; time travel to the pre-delete version still works. */
     def delete(spark: SparkSession, condition: org.apache.spark.sql.Column): Snapshot = {
-      val remaining = read(spark).filter(!condition)
+      // SQL DELETE semantics: remove rows where the condition is TRUE; rows
+      // where it evaluates to NULL (e.g. a null column in the predicate) are
+      // KEPT — a bare !condition would silently delete them too
+      val remaining = read(spark).filter(!coalesce(condition, lit(false)))
       commit(remaining, currentSnapshot.map(_.configFp).getOrElse(""), "overwrite")
     }
 

@@ -167,3 +167,67 @@ class KernelHardeningSpec extends AnyFunSuite {
     assert(graft.core.Utf8Ordering.compare("same", "same") === 0)
   }
 }
+
+/** Store hardening: branch-safe commits after rollback, SQL DELETE null
+  * semantics, and per-file lineage attribution. */
+class StoreBranchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTest.spark
+
+  private def df(tag: String, nulls: Boolean = false) = {
+    import spark.implicits._
+    Seq((s"https://$tag/1", if (nulls) null else "en", 0),
+        (s"https://$tag/2", "de", 1))
+      .toDF("url", "lang", "part_id")
+  }
+
+  test("commit after rollback branches instead of overwriting an " +
+    "'immutable' snapshot the abandoned chain still references") {
+    val root = Files.createTempDirectory("graft-branch").toString
+    val t = IcebergShaped.table(root)
+    t.commit(df("v0"), "fp")
+    t.commit(df("v1"), "fp")
+    t.commit(df("v2"), "fp")
+    val v1SnapId = t.snapshotAt(1).snapshotId
+    val v1Files = t.snapshotAt(1).files.map(_.path)
+
+    t.rollback(0)
+    val snapNew = t.commit(df("branch"), "fp")
+    // the branch commit takes a FRESH version (3), leaving v1/v2 intact
+    assert(snapNew.version === 3)
+    assert(snapNew.parentVersion === Some(0))
+    assert(t.snapshotAt(1).snapshotId === v1SnapId)
+    v1Files.foreach(p => assert(Files.exists(java.nio.file.Paths.get(p)),
+      s"abandoned-branch data file must survive: $p"))
+
+    // live read on the new branch = v0 + branch rows only
+    val urls = t.read(spark).select("url").collect().map(_.getString(0)).toSet
+    assert(urls === Set("https://v0/1", "https://v0/2",
+      "https://branch/1", "https://branch/2"))
+
+    // time travel back onto the abandoned branch still works
+    t.rollback(2)
+    val old = t.read(spark).select("url").collect().map(_.getString(0)).toSet
+    assert(old === Set("https://v0/1", "https://v0/2", "https://v1/1",
+      "https://v1/2", "https://v2/1", "https://v2/2"))
+  }
+
+  test("delete keeps rows whose condition evaluates to NULL") {
+    val root = Files.createTempDirectory("graft-delnull").toString
+    val t = IcebergShaped.table(root)
+    t.commit(df("d", nulls = true), "fp") // row 1 has lang = null
+    t.delete(spark, col("lang") === "de")
+    val kept = t.read(spark).select("url").collect().map(_.getString(0)).toSet
+    assert(kept === Set("https://d/1"), "null-lang row must be KEPT, de row deleted")
+  }
+
+  test("lineage stamps each file with the snapshot that added it") {
+    val root = Files.createTempDirectory("graft-lineage").toString
+    val t = IcebergShaped.table(root)
+    val s0 = t.commit(df("a"), "fp")
+    val s1 = t.commit(df("b"), "fp")
+    val byFile = t.lineage(spark).select("snapshot_id", "file").collect()
+      .map(r => (r.getString(1), r.getLong(0))).toMap
+    assert(s0.files.forall(f => byFile(f.path) === s0.snapshotId))
+    assert(s1.files.forall(f => byFile(f.path) === s1.snapshotId))
+  }
+}
