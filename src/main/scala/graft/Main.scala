@@ -20,20 +20,45 @@ import graft.store.IcebergShaped
   */
 object Main {
 
+  private val knownFlags = Set(
+    "threshold", "exact-verify", "substring-pass", "langs", "pages",
+    "store", "out")
+
+  private def usage(msg: String): Nothing = {
+    System.err.println(s"[graft] $msg")
+    System.err.println(
+      "usage: dedup [--pages synth:N|root[;root...]] [--threshold 1..100] " +
+        "[--exact-verify] [--substring-pass] [--langs en,de] " +
+        "[--store ROOT] [--out DIR] | bench")
+    sys.exit(2)
+  }
+
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
       args(i) match {
         case f if f.startsWith("--") =>
+          val key = f.stripPrefix("--")
+          // unknown flags fail fast: a typo ('--substring-pas') would
+          // otherwise run the whole job silently with the default behavior
+          if (!knownFlags(key)) usage(s"unknown flag --$key")
           if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
-            m(f.stripPrefix("--")) = args(i + 1); i += 2
-          } else { m(f.stripPrefix("--")) = "true"; i += 1 }
+            m(key) = args(i + 1); i += 2
+          } else { m(key) = "true"; i += 1 }
         case other => m("command") = other; i += 1
       }
     }
     m.toMap
   }
+
+  /** Numeric flag with a usage message instead of a raw
+    * NumberFormatException stack trace. */
+  private def intFlag(opts: Map[String, String], key: String, default: Int): Int =
+    opts.get(key) match {
+      case None => default
+      case Some(v) => v.toIntOption.getOrElse(usage(s"--$key expects an integer, got '$v'"))
+    }
 
   /** S4 pre-flight root validation (reference: mainwindow.cpp:173-180 shows a
     * "not found" status message for a bad folder and continues with the
@@ -80,7 +105,7 @@ object Main {
     command match {
       case "dedup" =>
         val cfg = GraftConfig(
-          threshold = opts.get("threshold").map(_.toInt).getOrElse(89),
+          threshold = intFlag(opts, "threshold", 89),
           exactVerify = opts.contains("exact-verify"),
           substringPass = opts.contains("substring-pass"),
           langFilter = opts.get("langs").map(_.split(",").toSet))

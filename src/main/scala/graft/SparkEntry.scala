@@ -485,6 +485,7 @@ object SparkEntry {
       graft.spark.Actions.swapPairs(
         pipelineFor(s, d).pairs.filter(col("matched"))
           .select(col("url_a"), col("url_b")))
+        .select("url", "action", "target") // the oracle re-derives these three
         .orderBy("url", "target")),
     // A3 action totals (the reference's deleted-files running total)
     "q_action_summary" -> ((s, d) =>

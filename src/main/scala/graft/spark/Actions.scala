@@ -58,7 +58,13 @@ object Actions {
     pairs.select(col("url_a").as("url"), col("url_b").as("target"))
       .unionByName(pairs.select(col("url_b").as("url"), col("url_a").as("target")))
       .withColumn("action", lit("swap"))
-      .select("url", "action", "target")
+      // full 6-column actions-table shape (the object scaladoc's contract):
+      // swap rows union with fromClusters/moveDrops output and flow through
+      // summary() — a swap reclaims no bytes and has no cluster rank
+      .withColumn("cluster_id", lit(null).cast("string"))
+      .withColumn("rank_in_cluster", lit(null).cast("long"))
+      .withColumn("reclaim_bytes", lit(0L))
+      .select("url", "cluster_id", "action", "target", "rank_in_cluster", "reclaim_bytes")
 
   /** Run summary over actions (the deleted-files running total, A3:
     * comparison.cpp:407-408 accumulators as a groupBy). */

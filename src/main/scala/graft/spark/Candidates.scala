@@ -41,6 +41,26 @@ import graft.core.GraftConfig
   */
 object Candidates {
 
+  /** Frames persisted internally by candidatePairs (the slim rep projection,
+    * the band relation, the delta id set). They must stay cached while the
+    * returned lazy pairs frame executes; the PIPELINE owns release — it
+    * calls [[cleanupCaches]] once its results are lineage-truncated
+    * (localCheckpoint), after which nothing references these plans. Without
+    * the release a long-running incremental chain accumulates one band
+    * relation per increment until LRU eviction, with the JVM references
+    * never reclaimed (same discipline as DedupOps.cleanupCaches). */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def registerPersist(df: DataFrame): DataFrame = {
+    persistedFrames.add(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    df
+  }
+  def cleanupCaches(): Unit = {
+    var df = persistedFrames.poll()
+    while (df != null) { df.unpersist(false); df = persistedFrames.poll() }
+  }
+
   /** Band rows are slim — (band_id, key, id) only, where `id` is a dense
     * dictionary long (the order-preserving encoding built at the top of
     * [[candidatePairs]]), NOT the url string. Scoring
@@ -145,16 +165,15 @@ object Candidates {
     val bandCols = Seq("simhash_head", "simhash_tail",
       "mh_bands_head", "mh_bands_tail", "mh_rescue_head", "mh_rescue_tail") ++
       (if (cfg.substringPass) Seq("ss_keys") else Nil)
-    val repSlim = reps
+    val repSlim = registerPersist(reps
       .select(("url" +: (bandCols ++ Seq("text_len", "size"))).map(col): _*)
-      .join(dict, "url")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .join(dict, "url"))
 
     // the band relation feeds the key-count pass, both sides of the light
     // self-join and both sides of the heavy triangle join — cache it once
-    // rather than re-exploding 6x (LRU eviction reclaims it under pressure)
-    val bnds = bands(repSlim, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rather than re-exploding 6x (the pipeline releases it via
+    // cleanupCaches once its results are checkpointed)
+    val bnds = registerPersist(bands(repSlim, cfg))
     // materialize the cache BEFORE its three join consumers: AQE runs their
     // query stages as concurrent jobs, and concurrent first-touch of an
     // unpopulated cache races — each job recomputes the full band explode
@@ -293,9 +312,8 @@ object Candidates {
         // Persist + materialize the (increment-sized) id set while
         // sortedUrls is still cached: every later consumer (bndsNew,
         // na/nb) otherwise re-runs the dictionary's full-corpus sort.
-        val newIds = dict.join(nu.select("url"), Seq("url"), "left_semi")
-          .select("id")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val newIds = registerPersist(
+          dict.join(nu.select("url"), Seq("url"), "left_semi").select("id"))
         newIds.count()
         val bndsNew = bnds.join(newIds, Seq("id"), "left_semi")
         val lightNew = bndsNew.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")

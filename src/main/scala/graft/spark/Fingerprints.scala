@@ -56,6 +56,14 @@ object Fingerprints {
     sb.toString
   }
 
+  /** [[contentId]] as a Catalyst expression — the ONE column-level
+    * definition (fromPages and Resume's anti-join both use it; a drift
+    * between copies would silently invalidate the store's resume). */
+  def contentIdCol: org.apache.spark.sql.Column =
+    md5(to_binary(
+      concat(col("url"), lit("_"), unix_millis(col("warc_ts")).cast("string")),
+      lit("utf-8")))
+
   private def md5hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     val sb = new java.lang.StringBuilder(32)
@@ -181,13 +189,19 @@ object Fingerprints {
     * expressions. Column set identical to [[SignatureRow]] (pinned by
     * FingerprintExprSpec against the typed path). */
   def fromPages(pages: DataFrame, cfg: GraftConfig): DataFrame =
-    dropCaseDuplicateUrls(pages)
+    fromPagesPreDeduped(dropCaseDuplicateUrls(pages), cfg)
+
+  /** [[fromPages]] minus the case-dedup window, for callers whose input is
+    * ALREADY deduped (Resume runs dropCaseDuplicateUrls before its cheap
+    * anti-join — re-running the window inside the commit job would add a
+    * redundant full-input shuffle). */
+  private[graft] def fromPagesPreDeduped(pages: DataFrame, cfg: GraftConfig): DataFrame =
+    pages
       .select(col("url"), col("warc_ts"), col("lang"),
         graft.functions.PageFingerprint(col("html"), col("text"), cfg).as("fp"))
       .select(
         col("url"),
-        md5(to_binary(concat(col("url"), lit("_"),
-          unix_millis(col("warc_ts")).cast("string")), lit("utf-8"))).as("content_id"),
+        contentIdCol.as("content_id"),
         pmod(xxhash64(col("url")), lit(cfg.storeParts)).cast("int").as("part_id"),
         col("warc_ts"), col("lang"),
         col("fp.text_len"), col("fp.size"), col("fp.text_md5"),

@@ -56,12 +56,26 @@ object Pipeline {
 
   /** Incremental entry: fingerprints come from / go to the Iceberg-shaped
     * store (anti-join resume, Resume.scala); clustering always runs over the
-    * full live signature set — new rows can join existing clusters. */
+    * full live signature set — new rows can join existing clusters.
+    *
+    * substringPass caller contract (same as [[runIncrementalScoped]]):
+    * `pages` must span BOTH sides of possible pairs — the live page source,
+    * not just the increment batch. The store holds fingerprints, not text,
+    * so a substring candidate whose old-side text is absent from `pages`
+    * stays unmatched (the left join retains it with a null overlap) — a
+    * verbatim-overlap match a one-shot run over the full corpus would find.
+    * A warning is emitted when this shape is detectable. */
   def runIncremental(pages: DataFrame, store: graft.store.IcebergShaped.Table,
                      cfg: GraftConfig = GraftConfig(),
                      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : (Result, Resume.IncrementalResult) = {
     val inc = Resume.incrementalFingerprints(scan(pages, cfg), store, cfg)
+    if (cfg.substringPass && inc.skipped > 0)
+      System.err.println(
+        "[graft] substringPass on an incremental run: `pages` must be the " +
+          "LIVE page source (both sides of every possible pair), not just " +
+          "the new batch — store-resident candidates whose text is missing " +
+          "from `pages` cannot substring-match (they are kept, unmatched)")
     val sigs = inc.signatures.persist(persistLevel)
     (downstream(sigs, pages, cfg, persistLevel), inc)
   }
@@ -121,21 +135,19 @@ object Pipeline {
     val inc = Resume.incrementalFingerprints(scan(pages, cfg), store, cfg)
     val sigs = inc.signatures.persist(persistLevel)
 
-    val rejects = sigs.filter(col("reject_reason").isNotNull)
-      .select(col("url"), col("reject_reason").as("reason"))
-    val valid = sigs.filter(col("reject_reason").isNull)
-    val groups = valid.groupBy("text_md5").agg(min("url").as("rep_url"))
-    val members = valid.select(col("url"), col("text_md5"))
-      .join(groups, "text_md5")
-      .select(col("url"), col("rep_url"))
-      .persist(persistLevel)
-    val reps = valid.join(
-      groups.select(col("rep_url").as("url")), Seq("url"), "left_semi")
-      .persist(persistLevel)
+    // ONE exact-group derivation shared with pairStage (the grouping rule —
+    // min-url election per text_md5 — must never diverge between the scoped
+    // and one-shot paths), passed down so downstream() does not rebuild and
+    // re-persist identical members/reps frames.
+    val eg = exactGroups(sigs, persistLevel)
+    val members = eg.members
+    val reps = eg.reps
+    val valid = eg.valid
+    val rejects = eg.rejects
 
     prev match {
       case None =>
-        val res = downstream(sigs, pages, cfg, persistLevel)
+        val res = downstream(sigs, pages, cfg, persistLevel, Some(eg))
         val state = IncState(reps.localCheckpoint(),
           res.pairs.drop("id_a", "id_b").localCheckpoint(),
           res.clusters.join(reps.select("url"), Seq("url"), "left_semi")
@@ -198,7 +210,16 @@ object Pipeline {
               ("untouched_clusters", splice.untouchedClusters)).toDF("metric", "value"))
 
         val res = Result(sigs, rejects, pairs, clusters, metrics)
-        (res, inc, IncState(reps.localCheckpoint(), pairs, repAssign))
+        val state = IncState(reps.localCheckpoint(), pairs, repAssign)
+        // every returned frame is a checkpoint leaf (pairs, repAssign,
+        // clusters, state.reps) or persisted in its own right (sigs, reps —
+        // metrics still aggregates them): the increment-local caches and
+        // the candidate layer's internals can be released, keeping a long
+        // incremental chain's cache footprint O(one increment)
+        newUrls.unpersist(false); staleUrls.unpersist(false)
+        delta.unpersist(false); members.unpersist(false)
+        Candidates.cleanupCaches()
+        (res, inc, state)
     }
   }
 
@@ -215,8 +236,9 @@ object Pipeline {
     * MATERIALIZED and lineage-truncated (see the checkpoint note below);
     * `signatures` stays a lazy persisted frame. */
   private def downstream(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
-                         persistLevel: StorageLevel): Result = {
-    val ps0 = pairStage(sigs, pages, cfg, persistLevel)
+                         persistLevel: StorageLevel,
+                         pre: Option[ExactGroups] = None): Result = {
+    val ps0 = pairStage(sigs, pages, cfg, persistLevel, pre)
     // Lineage truncation at the result boundary. The candidate stage is a
     // DAG of self-joins and unions over the same subtrees (band self-join,
     // heavy/light routing, payload join-back, verify re-joins); expressed as
@@ -234,6 +256,12 @@ object Pipeline {
     val pairs = ps0.pairs.localCheckpoint()
     val ps = ps0.copy(pairs = pairs)
     val clusters = clusterStage(ps, persistLevel).localCheckpoint()
+    // pairs and clusters are now LogicalRDD leaves: nothing references the
+    // candidate layer's internal caches (band relation, slim projection)
+    // any more — release them, or an incremental chain accumulates one band
+    // relation per increment. members likewise only fed clusterStage.
+    Candidates.cleanupCaches()
+    ps.members.unpersist(false)
 
     // one driver job for every remaining run metric (S14): per-frame
     // aggregates are exploded to (metric, value) rows and unioned, so one
@@ -315,15 +343,16 @@ object Pipeline {
                                      members: DataFrame, reps: DataFrame,
                                      pairs: DataFrame)
 
-  /** Narrow + candidate half: rejects, exact-dup grouping, LSH candidates,
-    * scored pairs. Lazy — nothing here triggers a job. */
-  private def pairStage(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
-                        persistLevel: StorageLevel): PairStage = {
+  private final case class ExactGroups(rejects: DataFrame, valid: DataFrame,
+                                       members: DataFrame, reps: DataFrame)
+
+  /** Exact-duplicate pre-grouping (one representative = min url per distinct
+    * text) — the ONE definition of the grouping rule, shared by pairStage
+    * and runIncrementalScoped. members and reps come back persisted. */
+  private def exactGroups(sigs: DataFrame, persistLevel: StorageLevel): ExactGroups = {
     val rejects = sigs.filter(col("reject_reason").isNotNull)
       .select(col("url"), col("reject_reason").as("reason"))
     val valid = sigs.filter(col("reject_reason").isNull)
-
-    // exact-duplicate pre-grouping: one representative (min url) per distinct text
     val groups = valid.groupBy("text_md5").agg(min("url").as("rep_url"))
     val members = valid.select(col("url"), col("text_md5"))
       .join(groups, "text_md5")
@@ -332,6 +361,19 @@ object Pipeline {
     val reps = valid.join(
       groups.select(col("rep_url").as("url")), Seq("url"), "left_semi")
       .persist(persistLevel)
+    ExactGroups(rejects, valid, members, reps)
+  }
+
+  /** Narrow + candidate half: rejects, exact-dup grouping, LSH candidates,
+    * scored pairs. Lazy — nothing here triggers a job. */
+  private def pairStage(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
+                        persistLevel: StorageLevel,
+                        pre: Option[ExactGroups] = None): PairStage = {
+    val eg = pre.getOrElse(exactGroups(sigs, persistLevel))
+    val rejects = eg.rejects
+    val valid = eg.valid
+    val members = eg.members
+    val reps = eg.reps
 
     // candidates + scoring (representative level)
     val cand = Candidates.candidatePairs(reps, cfg)

@@ -18,12 +18,9 @@ import graft.store.IcebergShaped
   */
 object Resume {
 
-  /** content_id as a Catalyst expression — MUST match
-    * Fingerprints.contentId (tested). */
-  def contentIdCol: org.apache.spark.sql.Column =
-    md5(to_binary(
-      concat(col("url"), lit("_"), unix_millis(col("warc_ts")).cast("string")),
-      lit("utf-8")))
+  /** content_id as a Catalyst expression — the single definition lives in
+    * [[Fingerprints.contentIdCol]] (matching the typed contentId, tested). */
+  def contentIdCol: org.apache.spark.sql.Column = Fingerprints.contentIdCol
 
   final case class IncrementalResult(
       signatures: DataFrame, // full live table after the commit
@@ -58,9 +55,11 @@ object Resume {
       }
 
     // default-mode commits drop the dead-weight shingle/sample arrays —
-    // config_fp keys the store, so each config's snapshots stay schema-stable
+    // config_fp keys the store, so each config's snapshots stay schema-stable.
+    // PreDeduped entry: withId already ran the case-dedup window; the plain
+    // fromPages would re-run it inside the commit job.
     val newSigs = Fingerprints.pruneForMode(
-      Fingerprints.fromPages(todo.drop("content_id"), cfg).toDF(), cfg)
+      Fingerprints.fromPagesPreDeduped(todo.drop("content_id"), cfg).toDF(), cfg)
     val newCount =
       if (firstRun) store.commit(newSigs, cfg.configFp, "overwrite").addedRows
       else if (!todo.isEmpty) store.commit(newSigs, cfg.configFp, "append").addedRows
@@ -71,17 +70,36 @@ object Resume {
     // per url (newest warc_ts wins) — a re-crawled url gets a fresh
     // content_id and is appended, so without the dedup the old capture would
     // stay live alongside it and clustering would elect keepers among
-    // phantom duplicates of the same url.
+    // phantom duplicates of the same url. A SECOND dedup layer applies the
+    // one-shot case rule (F1: earliest warc_ts, then url, per lower(url))
+    // ACROSS increments: a case-variant twin committed in a later batch sees
+    // no in-batch conflict, so without this layer it would stay live
+    // alongside its earlier parent — a row one-shot semantics never admit.
+    // The live view also honors cfg.langFilter (S2): the scan filter applies
+    // to the batch before fingerprinting, and rows committed by an
+    // unfiltered earlier config are config-compatible (langFilter is not
+    // fingerprint-affecting), so the store side must filter too or an
+    // incremental run clusters languages a one-shot run excludes.
     val live =
       if (store.isEmpty) newSigs.limit(0)
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("url"))
           .orderBy(col("warc_ts").desc, col("content_id").desc)
-        store.read(spark)
+        val wCase = org.apache.spark.sql.expressions.Window
+          .partitionBy(lower(col("url")))
+          .orderBy(col("warc_ts"), col("url"))
+        val base = store.read(spark)
           .filter(col("config_fp") === cfg.configFp)
+        val filtered = cfg.langFilter match {
+          case Some(ls) => base.filter(col("lang").isin(ls.toSeq: _*))
+          case None => base
+        }
+        filtered
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
+          .withColumn("_rc", row_number().over(wCase))
+          .filter(col("_rc") === 1).drop("_rc")
       }
     IncrementalResult(live, newCount, skipped = total - newCount)
   }

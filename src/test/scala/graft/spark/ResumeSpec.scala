@@ -116,6 +116,40 @@ class ResumeSpec extends AnyFunSuite {
       .filter(col("shingles_head").isNull).count() === 0L)
   }
 
+  test("case-variant twin arriving in a LATER increment does not stay " +
+    "live alongside its earlier parent (one-shot F1 rule across batches)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def batch(url: String, ts: String) = Seq(
+      (url, Timestamp.valueOf(ts),
+       "<p>same text body for both case variants of this page</p>".getBytes("UTF-8"),
+       "same text body for both case variants of this page", "en")
+    ).toDF("url", "warc_ts", "html", "text", "lang")
+    val store = tmpStore()
+    Resume.incrementalFingerprints(batch("https://ex.org/Page", "2026-01-01 00:00:00"), store, cfg)
+    val r2 = Resume.incrementalFingerprints(batch("HTTPS://EX.ORG/PAGE", "2026-01-02 00:00:00"), store, cfg)
+    val liveUrls = r2.signatures.select("url").collect().map(_.getString(0)).toSeq
+    assert(liveUrls === Seq("https://ex.org/Page"),
+      "the earlier parent wins per lower(url); the late twin must not be live")
+  }
+
+  test("live view honors langFilter: store rows of excluded languages are " +
+    "not clustered by an incremental run") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rows = Seq(
+      ("https://l/en", Timestamp.valueOf("2026-01-01 00:00:00"), "english text here", "en"),
+      ("https://l/de", Timestamp.valueOf("2026-01-01 00:00:00"), "deutscher text hier", "de"))
+      .map { case (u, t, x, l) => (u, t, ("<p>" + x + "</p>").getBytes("UTF-8"), x, l) }
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val store = tmpStore()
+    Resume.incrementalFingerprints(rows, store, cfg) // unfiltered commit
+    val cfgDe = cfg.copy(langFilter = Some(Set("de")))
+    val r = Resume.incrementalFingerprints(rows.filter(col("lang") === "de"), store, cfgDe)
+    val live = r.signatures.select("url").collect().map(_.getString(0)).toSeq
+    assert(live === Seq("https://l/de"), "en store row must not be live under --langs de")
+  }
+
   /** Case-variant url duplicates dropped by F1 in [0, n). */
   private def caseDups(n: Long): Long =
     (0L until n).count(i => graft.data.Corpus.kindOf(i).isInstanceOf[graft.data.Corpus.CaseUrlDup])
