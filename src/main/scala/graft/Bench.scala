@@ -66,6 +66,10 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the one-line artifact must parse as JSON on ANY host locale: the f""
+    // interpolator is locale-sensitive, and a comma-decimal default (de_DE
+    // etc.) would render "value":2072,7
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val localDir = {
@@ -116,8 +120,11 @@ object Bench {
           timings(name) = (System.nanoTime() - t0) / 1e9
         } catch {
           case e: Throwable =>
+            // strip quote/backslash AND every control char (RFC 8259
+            // forbids unescaped <0x20; Netty/Hadoop messages embed ESC/FF)
+            // — one raw control char invalidates the whole artifact line
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
         }
         sweepSec += (System.nanoTime() - t0) / 1e9
       }
@@ -216,9 +223,11 @@ object Bench {
         s""""cpus":$cpus,"queries":$qs,"query_errors":$errs,"query_skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders artifact: the same line as a file, immune to any
-    // log-prefix mangling by whatever launched this JVM. Scaling legs
-    // (SKIP_QUERIES) don't write it — they would clobber the full-sweep
-    // record with a single pinned-leg sample.
+    // log-prefix mangling by whatever launched this JVM. latest.json ALWAYS
+    // reflects this run (its documented contract); only the per-config
+    // RECORD files skip scaling legs (SKIP_QUERIES) — a single pinned-leg
+    // sample must not clobber a full-sweep record.
+    writeLatest(line)
     if (!skipQueries) writeLocalRecord(line, docsPerSec, e2eN, sfDir)
     spark.stop()
   }
@@ -233,12 +242,18 @@ object Bench {
     * unparseable existing record is KEPT, never overwritten — corruption
     * must not be the path by which a record is lost. The current run always
     * lands verbatim in BENCH_LOCAL.latest.json. */
+  private def writeArtifact(p: String, line: String): Unit =
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The current run's line, verbatim — written for EVERY run including
+    * scaling legs (the record files below have stricter rules). */
+  private def writeLatest(line: String): Unit =
+    writeArtifact("BENCH_LOCAL.latest.json", line)
+
   private def writeLocalRecord(line: String, docsPerSec: Double,
                                e2eN: Long, sfDir: String): Unit = {
-    def write(p: String): Unit =
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
-      catch { case scala.util.control.NonFatal(_) => () }
-    write("BENCH_LOCAL.latest.json")
+    def write(p: String): Unit = writeArtifact(p, line)
     val sfTag = sfDir.reverse.takeWhile(_ != '/').reverse
     val official = e2eN == 60000L && sfTag == "sf0.1"
     val path = if (official) "BENCH_LOCAL.json" else s"BENCH_LOCAL.$e2eN-$sfTag.json"

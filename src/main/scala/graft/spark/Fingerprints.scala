@@ -64,12 +64,9 @@ object Fingerprints {
       concat(col("url"), lit("_"), unix_millis(col("warc_ts")).cast("string")),
       lit("utf-8")))
 
-  private def md5hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+  // the one md5hex definition lives with the expression kernel
+  private def md5hex(s: String): String =
+    graft.functions.FingerprintKernel.md5hex(s)
 
   /** Compute one signature row. Pure; used by both the Spark map and tests. */
   def signatureOf(url: String, ts: Timestamp, html: Array[Byte], text: String,
@@ -83,55 +80,22 @@ object Fingerprints {
         Some("extract_anomaly") // F5: output larger than input => corrupt (video.cpp:157-158)
       else if (sig.isRejected) Some("low_entropy") // F4 monochrome (video.cpp:40-42)
       else None
-    // slot-wise minhash band keys, precomputed once. Banding is SLOT-WISE
-    // (head vs head, tail vs tail) because matching is slot-wise
-    // (comparison.cpp:133-136): a pair can match on one nearly-identical
-    // slot while global Jaccard is low (boilerplate heads, modified tails).
-    // 64-bit hashed band keys keep join-key entropy high — see Candidates.
-    def bandKeys(sigArr: Array[Long]): Array[Long] =
-      if (sigArr == null) Array.emptyLongArray
-      else {
-        val rows = cfg.minhashRowsPerBand
-        val buf = new Array[Byte](rows << 3)
-        Array.tabulate(cfg.minhashBands) { b =>
-          var i = 0
-          while (i < rows) {
-            val v = sigArr(b * rows + i)
-            val o = i << 3
-            buf(o) = v.toByte; buf(o + 1) = (v >>> 8).toByte
-            buf(o + 2) = (v >>> 16).toByte; buf(o + 3) = (v >>> 24).toByte
-            buf(o + 4) = (v >>> 32).toByte; buf(o + 5) = (v >>> 40).toByte
-            buf(o + 6) = (v >>> 48).toByte; buf(o + 7) = (v >>> 56).toByte
-            i += 1
-          }
-          XXH64.hashBytes(buf, 0, rows << 3, cfg.seed + b)
-        }
-      }
+    // slot-wise minhash band keys via the ONE kernel definition
+    // (graft.functions.FingerprintKernel — the expression path's): the typed
+    // path is the expression path's parity oracle, and both commit rows
+    // under the same config_fp, so the banding/rescue byte-packing must be
+    // bit-identical by CONSTRUCTION, not by two copies kept in sync. Banding
+    // is SLOT-WISE (head vs head, tail vs tail) because matching is
+    // slot-wise (comparison.cpp:133-136); 64-bit hashed band keys keep
+    // join-key entropy high — see Candidates. Rescue keys: dense r=2 bands
+    // for short slots only (noisy SimHash there; r=2 x 64 bands catch slot
+    // Jaccard >~0.25 w.p. >=0.98) — they collide only for similar docs.
+    val kern = new graft.functions.FingerprintKernel(cfg)
+    def bandKeys(sigArr: Array[Long]): Array[Long] = kern.bandKeys(sigArr)
+    def rescueKeys(sigArr: Array[Long], nShingles: Int): Array[Long] =
+      kern.rescueKeys(sigArr, nShingles)
     val mhHead = mh.signature(sig.shinglesHead)
     val mhTail = mh.signature(sig.shinglesTail)
-    // short-slot rescue: dense r=2 minhash bands, emitted only for slots with
-    // few shingles — there SimHash bits and r=4 banding are noisy, while a
-    // pair at slot Hamming <=8 always retains slot Jaccard >~0.25, which r=2
-    // x 64 bands catches w.p. >=0.98. Unlike low-entropy simhash slices,
-    // these keys collide only for genuinely similar docs (no random load).
-    def rescueKeys(sigArr: Array[Long], nShingles: Int): Array[Long] =
-      if (sigArr == null || nShingles >= cfg.shortSlotShingles) Array.emptyLongArray
-      else {
-        val buf = new Array[Byte](16)
-        Array.tabulate(cfg.numPerm / 2) { b =>
-          var i = 0
-          while (i < 2) {
-            val v = sigArr(2 * b + i)
-            val o = i << 3
-            buf(o) = v.toByte; buf(o + 1) = (v >>> 8).toByte
-            buf(o + 2) = (v >>> 16).toByte; buf(o + 3) = (v >>> 24).toByte
-            buf(o + 4) = (v >>> 32).toByte; buf(o + 5) = (v >>> 40).toByte
-            buf(o + 6) = (v >>> 48).toByte; buf(o + 7) = (v >>> 56).toByte
-            i += 1
-          }
-          XXH64.hashBytes(buf, 0, 16, cfg.seed + 5000 + b)
-        }
-      }
     SignatureRow(
       url = url,
       content_id = contentId(url, ts),

@@ -34,9 +34,16 @@ object StreamDemo {
     for (b <- 0 until batches) {
       val lo = b * per
       val hi = if (b == batches - 1) n else (b + 1) * per
-      CorpusSpark.pages(spark, hi, 8, cfg.seed)
-        .where(expr(s"CAST(substring(url, length(url)-9, 10) AS LONG) >= $lo"))
-        .write.mode("append").parquet(inDir)
+      // batch delta by URL SET difference, not url-suffix arithmetic: a
+      // CaseUrlDup row's url embeds its PARENT's doc number, so a numeric
+      // filter at a batch boundary would drop that row from every batch
+      val batchRows = {
+        val upTo = CorpusSpark.pages(spark, hi, 8, cfg.seed)
+        if (lo == 0) upTo
+        else upTo.join(CorpusSpark.pages(spark, lo, 8, cfg.seed).select("url"),
+          Seq("url"), "left_anti")
+      }
+      batchRows.write.mode("append").parquet(inDir)
       val stream = spark.readStream.schema(schema).parquet(inDir)
       val q = StreamingIngest.ingestToStore(stream, store, cfg, ckpt)
       q.awaitTermination()
@@ -45,6 +52,19 @@ object StreamDemo {
     }
 
     println(s"final snapshots: ${store.currentVersion.get + 1}; rows=${store.currentSnapshot.get.totalRows}")
+
+    // the watermarked hourly rollup the scaladoc promises: drain the same
+    // file source through hourlyArrivals into an in-memory sink and print
+    val rollup = StreamingIngest.hourlyArrivals(
+      spark.readStream.schema(schema).parquet(inDir))
+    val rq = rollup.writeStream.outputMode("complete").format("memory")
+      .queryName("hourly")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft-hr-ckpt").toString)
+      .start()
+    rq.awaitTermination()
+    println("hourly rollup (top 5 windows):")
+    spark.table("hourly").orderBy(col("window"), col("lang")).show(5, truncate = false)
     spark.stop()
   }
 }
