@@ -20,9 +20,15 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Corpus size for the synthesized webtext queries, by scale dir. */
-  private def corpusN(dir: String): Long =
-    if (dir.contains("0.1")) 20000L else if (dir.contains("0.01")) 5000L else 2000L
+  /** Corpus size for the synthesized webtext queries, by the scale dir's
+    * own NAME (the last path segment) — a substring match over the full
+    * path would misclassify "/data/run-v0.1/sf0.01" as sf0.1. */
+  private def corpusN(dir: String): Long = {
+    val name = dir.stripSuffix("/").reverse.takeWhile(_ != '/').reverse
+    if (name.contains("0.01")) 5000L
+    else if (name.contains("0.1")) 20000L
+    else 2000L
+  }
 
   private val cfg = GraftConfig()
 
@@ -142,8 +148,7 @@ object SparkEntry {
   /** Fixed cursor for the W2 progress-position query: a mid-range url
     * threshold in the deterministic corpus enumeration (it need not name an
     * existing pair — progress is a count over the canonical ordering). */
-  private val progressCursorA = "https://example.org/s31/doc0000001000"
-  private val progressCursorB = progressCursorA
+  private val progressCursor = "https://example.org/s31/doc0000001000"
 
   private val cfgExact = cfg.copy(exactVerify = true)
   private def pipelineExactFor(s: SparkSession, d: String): Pipeline.Result =
@@ -213,15 +218,11 @@ object SparkEntry {
       r2
     })
 
-  /** X12 stored-array cap + pre-cap ss-key sampling, hard-oracled: the kernel
-    * runs twice per url — once with a cap this corpus actually exceeds (64;
-    * the cap is config, the stored-thumbnail budget analog of thumbnail.h)
-    * and once uncapped. The query returns the capped stored arrays exploded
-    * to scalar rows; the oracle re-derives bottom-k (arrays are
-    * sorted-distinct, so bottom-k == take k, core/Signatures.scala:84-88) and
-    * the mod-m sampled merge-union (core/Signatures.scala:89-104) from the
-    * UNCAPPED chains in SQL — the selection decision never crosses to DuckDB,
-    * only raw hash chains do. */
+  // declared BEFORE configFpVariants on purpose: the variants reference it,
+  // and although configFpVariants is a def today, a val-ification would
+  // otherwise capture 0 at object init and desync q_config_fp's two sides
+  private val sigCapTestCap = 64
+
   /** S10 config fingerprints: variants that differ in fingerprint-affecting
     * fields (mode, cap) — and, since mode-pruned persistence, in the stored
     * payload schema: exactVerify/substringPass enter the stamp only through
@@ -233,9 +234,18 @@ object SparkEntry {
     "grid4x3" -> cfgGrid43,
     "cap64"   -> cfg.copy(maxStoredShinglesPerSlot = sigCapTestCap))
 
-  private val sigCapTestCap = 64
   private val sigCapCache =
     scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** X12 stored-array cap + pre-cap ss-key sampling, hard-oracled: the kernel
+    * runs twice per url — once with a cap this corpus actually exceeds (64;
+    * the cap is config, the stored-thumbnail budget analog of thumbnail.h)
+    * and once uncapped. The query returns the capped stored arrays exploded
+    * to scalar rows; the oracle re-derives bottom-k (arrays are
+    * sorted-distinct, so bottom-k == take k, core/Signatures.scala:84-88) and
+    * the mod-m sampled merge-union (core/Signatures.scala:89-104) from the
+    * UNCAPPED chains in SQL — the selection decision never crosses to DuckDB,
+    * only raw hash chains do. */
   private def sigCapFor(s: SparkSession, d: String): DataFrame =
     sigCapCache.getOrElseUpdate(d, {
       import s.implicits._
@@ -407,14 +417,16 @@ object SparkEntry {
         .orderBy("h", "event_type")),
 
     // ---- display formatters (X7-X10) ----
-    // bitrate operands are constructed to dodge printf tie-rounding skew
-    // between engines: the Mbps operand is odd (never an exact .x5 at one
-    // decimal), the kbps operand stays on the integer branch
+    // operands are constructed to dodge printf tie-rounding skew between
+    // engines (Java %.1f rounds HALF_UP, DuckDB printf half-to-even): the
+    // byte and Mbps operands are ODD — a one-decimal tie needs the operand
+    // divisible by a power of two — and the kbps operand stays integer
     "q_display_formats" -> ((s, d) =>
       t(s, d, "orders")
         .select(col("o_orderkey"),
           graft.ops.Display.msToHHMMSS(col("o_orderkey") % 86400000L).as("hhmmss"),
-          graft.ops.Display.readableFileSize(floor(col("o_totalprice") * 1000).cast("long")).as("size_h"),
+          graft.ops.Display.readableFileSize(
+            (floor(col("o_totalprice") * 1000).cast("long") * 2 + 1)).as("size_h"),
           graft.ops.Display.readableDuration(col("o_custkey") * 1000L).as("dur_h"),
           graft.ops.Display.readableBitRate((col("o_custkey") % 9000L) * 2L + 10001L).as("bitrate_h"),
           graft.ops.Display.readableBitRate(col("o_custkey") % 9999L).as("bitrate_lo"))
@@ -507,7 +519,7 @@ object SparkEntry {
     "q_progress" -> ((s, d) => {
       import s.implicits._
       val (pos, total, frac) = graft.spark.Pairs.progressOf(
-        pipelineFor(s, d).pairs, progressCursorA, progressCursorB)
+        pipelineFor(s, d).pairs, progressCursor, progressCursor)
       Seq((pos, total, frac)).toDF("position", "total", "fraction")
     }),
     // X2/X3/X4/X5 scoring kernel: sim_bits re-derived by the oracle from the
@@ -721,7 +733,9 @@ object SparkEntry {
       gcDirLabels(gcRoot).map(_._1).toDF("dir_label")
         .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/store_gc_dirs")
       val tgc = graft.store.IcebergShaped.table(gcRoot)
-      (0 to tgc.currentVersion.get).flatMap { v =>
+      require(tgc.currentVersion.nonEmpty,
+        s"GC twin store at $gcRoot is empty — scenario build failed")
+      (0 to tgc.currentVersion.getOrElse(-1)).flatMap { v =>
         tgc.snapshotAt(v).files.map(f => (v, s"v$v", f.partId, f.rows))
       }.toDF("version", "dir_label", "part_id", "rows")
         .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/store_gc_manifest")
@@ -930,10 +944,18 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
 
+    // null text = UNKNOWN content, never a duplicate: each such row is its
+    // own canonical singleton (mirrors DedupOps.exactDedup's rule — the
+    // fixture has no null texts today, but the oracle must not diverge the
+    // day one appears)
     "q_exact_dedup" ->
       """SELECT doc_id, md5(text) AS content_md5,
-        |       CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS dup_rank,
-        |       (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1) AS is_canonical
+        |       CAST(CASE WHEN text IS NULL THEN 1
+        |            ELSE row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |            END AS BIGINT) AS dup_rank,
+        |       (CASE WHEN text IS NULL THEN 1
+        |        ELSE row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+        |        END = 1) AS is_canonical
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
@@ -1208,8 +1230,8 @@ object SparkEntry {
     "q_progress" ->
       s"""WITH p AS (SELECT url_a, url_b FROM read_parquet('{AUX}/wt_pairs/*.parquet')),
          |a AS (SELECT
-         |  CAST(coalesce(sum(CASE WHEN url_a < '$progressCursorA'
-         |         OR (url_a = '$progressCursorA' AND url_b <= '$progressCursorB')
+         |  CAST(coalesce(sum(CASE WHEN url_a < '$progressCursor'
+         |         OR (url_a = '$progressCursor' AND url_b <= '$progressCursor')
          |       THEN 1 END), 0) AS BIGINT) AS position,
          |  CAST(count(*) AS BIGINT) AS total FROM p)
          |SELECT position, total,
@@ -1452,10 +1474,10 @@ object SparkEntry {
         |    (o_orderkey % 86400000) // 1000 % 60,
         |    (o_orderkey % 86400000) % 1000) AS hhmmss,
         |  CASE
-        |    WHEN CAST(floor(o_totalprice * 1000) AS BIGINT) >= 1073741824 THEN printf('%.1f GB', CAST(floor(o_totalprice * 1000) AS BIGINT) / 1073741824.0)
-        |    WHEN CAST(floor(o_totalprice * 1000) AS BIGINT) >= 1048576 THEN printf('%.1f MB', CAST(floor(o_totalprice * 1000) AS BIGINT) / 1048576.0)
-        |    WHEN CAST(floor(o_totalprice * 1000) AS BIGINT) >= 1024 THEN printf('%.1f kB', CAST(floor(o_totalprice * 1000) AS BIGINT) / 1024.0)
-        |    ELSE printf('%d B', CAST(floor(o_totalprice * 1000) AS BIGINT))
+        |    WHEN (CAST(floor(o_totalprice * 1000) AS BIGINT) * 2 + 1) >= 1073741824 THEN printf('%.1f GB', (CAST(floor(o_totalprice * 1000) AS BIGINT) * 2 + 1) / 1073741824.0)
+        |    WHEN (CAST(floor(o_totalprice * 1000) AS BIGINT) * 2 + 1) >= 1048576 THEN printf('%.1f MB', (CAST(floor(o_totalprice * 1000) AS BIGINT) * 2 + 1) / 1048576.0)
+        |    WHEN (CAST(floor(o_totalprice * 1000) AS BIGINT) * 2 + 1) >= 1024 THEN printf('%.1f kB', (CAST(floor(o_totalprice * 1000) AS BIGINT) * 2 + 1) / 1024.0)
+        |    ELSE printf('%d B', (CAST(floor(o_totalprice * 1000) AS BIGINT) * 2 + 1))
         |  END AS size_h,
         |  concat(
         |    CASE WHEN o_custkey * 1000 // 3600000 > 0 THEN printf('%dh', o_custkey * 1000 // 3600000) ELSE '' END,
