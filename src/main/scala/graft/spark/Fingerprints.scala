@@ -123,28 +123,41 @@ object Fingerprints {
     )
   }
 
-  /** Case-insensitive url dedup — the reference's O(n^2) scan over
-    * `_everyVideo` (mainwindow.cpp:217-225): keep the earliest row per
-    * lower(url) (discovery order -> warc_ts, url).
+  /** Url recency/case dedup — two layered rules, applied in the SAME order
+    * as the cross-increment live view in [[Resume.incrementalFingerprints]]
+    * so the surviving row per url is independent of how a crawl is split
+    * into batches (batch-split invariance, pinned by BatchSplitInvarianceSpec):
     *
-    * Shuffle discipline: the ranking window runs over a SLIM projection
+    *  1. re-crawl supersedence: per EXACT url, the newest warc_ts wins
+    *     (a later capture of the same page replaces the earlier one);
+    *  2. the reference's case-insensitive distinct — the O(n^2) scan over
+    *     `_everyVideo` (mainwindow.cpp:217-225): among the per-url winners,
+    *     keep the earliest row per lower(url) (discovery order ->
+    *     warc_ts, url).
+    *
+    * Shuffle discipline: the ranking windows run over a SLIM projection
     * (url, warc_ts — ~60 bytes/row), not the full page row (html + text,
     * ~10 KB/row); only the rare losers flow into an anti-join against the
     * unshuffled pages (AQE turns it into a broadcast join when the loser
     * set is small, which it virtually always is). */
   def dropCaseDuplicateUrls(pages: DataFrame): DataFrame = {
-    val w = Window.partitionBy(lower(col("url"))).orderBy(col("warc_ts"), col("url"))
+    val wUrl = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
+    val wCase = Window.partitionBy(lower(col("url"))).orderBy(col("warc_ts"), col("url"))
     // losers are keyed by (url, warc_ts), not url alone: a SAME-url re-crawl
     // inside one batch shares the winner's url, and a url-only anti-join
     // would remove the winner along with its loser — dropping the document
-    // entirely instead of keeping the earliest row. (Rows identical in BOTH
-    // url and warc_ts — duplicate crawl records — are an upstream ingest
-    // concern; this rule keeps the earliest distinct (url, warc_ts).)
-    val losers = pages.select(col("url"), col("warc_ts"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1)
+    // entirely instead of keeping one row. (Rows identical in BOTH url and
+    // warc_ts — duplicate crawl records — are an upstream ingest concern;
+    // this rule keeps one row per distinct (url, warc_ts) chain.)
+    val ranked = pages.select(col("url"), col("warc_ts"))
+      .withColumn("__rn", row_number().over(wUrl))
+    val recrawlLosers = ranked.filter(col("__rn") > 1)
       .select(col("url"), col("warc_ts"))
-    pages.join(losers, Seq("url", "warc_ts"), "left_anti")
+    val caseLosers = ranked.filter(col("__rn") === 1)
+      .withColumn("__rc", row_number().over(wCase))
+      .filter(col("__rc") > 1)
+      .select(col("url"), col("warc_ts"))
+    pages.join(recrawlLosers.union(caseLosers), Seq("url", "warc_ts"), "left_anti")
   }
 
   /** The fingerprint stage — one narrow select over the native

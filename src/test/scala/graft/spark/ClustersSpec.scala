@@ -10,11 +10,21 @@ import graft.core.UnionFind
 class ClustersSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
 
+  // UnionFind's contract (Signatures.scala): pass Utf8Ordering wherever the
+  // result must agree with Spark-side min(url) elections — the implicit
+  // Ordering.String is UTF-16 and diverges on supplementary-plane chars.
+  private implicit val urlOrd: Ordering[String] = graft.core.Utf8Ordering
+
   private def check(edges: Seq[(String, String)]): Unit = {
     import spark.implicits._
-    val got = Clusters.connectedComponents(
+    val rows = Clusters.connectedComponents(
         edges.toDF("u", "v"), maxRounds = 50, localFinishEdges = 0L)
-      .as[(String, String)].collect().toMap
+      .as[(String, String)].collect().toSeq
+    // one row per node BEFORE collapsing to a map: a convergence bug that
+    // emits a node twice with different roots must not be masked by toMap
+    assert(rows.map(_._1).distinct.length === rows.length,
+      s"duplicate node rows: ${rows.groupBy(_._1).filter(_._2.length > 1).keys.take(3)}")
+    val got = rows.toMap
     val uf = new UnionFind[String]
     edges.foreach { case (a, b) => uf.union(a, b) }
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
@@ -45,6 +55,15 @@ class ClustersSpec extends AnyFunSuite {
   test("star collision: high-degree hub") {
     val edges = (1 until 500).map(i => ("hub", f"leaf$i%04d"))
     check(edges)
+  }
+
+  test("supplementary-plane node names: root election matches UTF8 binary " +
+      "order (Java's UTF-16 ordering would elect a different root)") {
+    val smiley = new String(Character.toChars(0x1F600)) // surrogate pair
+    val pua = "\uE000" // private-use area: UTF-16 sorts it ABOVE the pair
+    assert(Ordering.String.compare(pua, smiley) > 0)
+    assert(graft.core.Utf8Ordering.compare(pua, smiley) < 0)
+    check(Seq((smiley, pua), (smiley + "x", pua), ("za", "zb")))
   }
 
   test("local-finish gate is a BYTE budget: few edges with pathological url " +

@@ -8,6 +8,23 @@ import graft.tools.OracleTruth
 
 object SparkTest {
   lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+
+  /** One giant band group: n reps with IDENTICAL fingerprints — every band
+    * family collapses onto one key shared by all rows (the adversarial
+    * boilerplate-band scenario). Shared by HeavyKeyStrategySpec (behavior
+    * gate) and PlanSpec (plan-shape gate) so the two heavy-key specs can't
+    * drift onto different signature schemas when a column is added. */
+  def giantBandGroupReps(n: Int, cfg: GraftConfig): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.range(n).select(
+      format_string("u%05d", col("id")).as("url"),
+      lit(0x1234abcdL).as("simhash_head"), lit(0x5678efL).as("simhash_tail"),
+      array_repeat(lit(7L), cfg.minhashBands).as("mh_bands_head"),
+      array_repeat(lit(8L), cfg.minhashBands).as("mh_bands_tail"),
+      array_repeat(lit(9L), cfg.numPerm / 2).as("mh_rescue_head"),
+      array_repeat(lit(10L), cfg.numPerm / 2).as("mh_rescue_tail"),
+      lit(100L).as("text_len"), lit(1000L).as("size"))
+  }
 }
 
 /** End-to-end gates (SURVEY §5.3): recall >= 0.99 vs the brute-force oracle,
@@ -75,6 +92,27 @@ class PipelineSpec extends AnyFunSuite {
       .agg(sum(when(col("is_keeper"), 1).otherwise(0)).as("k"))
       .filter(col("k") =!= 1).count()
     assert(bad === 0)
+    // independent sequential re-derivation of the W1 ordering (size desc,
+    // text_len desc, warc_ts asc, url asc — url compared in UTF8 binary
+    // order like Spark): the elected keeper must be the rank-1 row. A
+    // regression in the election window's sort direction passes the
+    // count==1 gate above but fails this.
+    val rows = result.clusters
+      .select("cluster_id", "url", "is_keeper", "size", "text_len", "warc_ts")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getTimestamp(5).getTime))
+    rows.groupBy(_._1).foreach { case (cid, members) =>
+      val expectedKeeper = members.minBy(m => (-m._4, -m._5, m._6))(
+        Ordering.Tuple3(Ordering.Long, Ordering.Long, Ordering.Long))
+      // break full ties (same size/text_len/warc_ts) by UTF8 url order
+      val top = members.filter(m =>
+        (-m._4, -m._5, m._6) == (-expectedKeeper._4, -expectedKeeper._5, expectedKeeper._6))
+      val want = top.map(_._2).min(graft.core.Utf8Ordering)
+      val got = members.filter(_._3).map(_._2).toSeq
+      assert(got === Seq(want),
+        s"cluster $cid elected ${got.mkString(",")}, W1 rank-1 is $want")
+    }
   }
 
   test("deterministic across input partitionings") {
@@ -166,17 +204,7 @@ class HeavyKeyStrategySpec extends AnyFunSuite {
     import spark.implicits._
     val n = 2000
     val cfg = GraftConfig(heavyBandKeyCap = 100, heavyDetectSampleFrac = -1.0)
-    // every row carries IDENTICAL fingerprints => every band family
-    // collapses onto one key shared by all n rows — the adversarial
-    // boilerplate-band scenario
-    val reps = spark.range(n).select(
-      format_string("u%05d", col("id")).as("url"),
-      lit(0x1234abcdL).as("simhash_head"), lit(0x5678efL).as("simhash_tail"),
-      array_repeat(lit(7L), cfg.minhashBands).as("mh_bands_head"),
-      array_repeat(lit(8L), cfg.minhashBands).as("mh_bands_tail"),
-      array_repeat(lit(9L), cfg.numPerm / 2).as("mh_rescue_head"),
-      array_repeat(lit(10L), cfg.numPerm / 2).as("mh_rescue_tail"),
-      lit(100L).as("text_len"), lit(1000L).as("size"))
+    val reps = SparkTest.giantBandGroupReps(n, cfg)
     val pairs = Candidates.candidatePairs(reps, cfg)
       .select("url_a", "url_b").as[(String, String)].collect()
     // O(n), not O(n^2): hub star (n-1) + path links (n-1) + a few boundary
@@ -185,8 +213,9 @@ class HeavyKeyStrategySpec extends AnyFunSuite {
     assert(pairs.length <= 4 * n, s"${pairs.length} pairs — quadratic blowup?")
     // the emitted pairs connect ALL n members into one component
     val uf = new graft.core.UnionFind[String]
-    pairs.foreach { case (a, b) => uf.union(a, b) }
-    val comps = uf.components((0 until n).map(i => f"u$i%05d")).values.toSet
+    pairs.foreach { case (a, b) => uf.union(a, b)(graft.core.Utf8Ordering) }
+    val comps = uf.components((0 until n).map(i => f"u$i%05d"))(graft.core.Utf8Ordering)
+      .values.toSet
     assert(comps.size === 1, s"star+path left ${comps.size} components")
     // partition-size assertion: the path windows run per salt bucket, and
     // the hash salt spreads the giant group — no window partition (and so

@@ -41,15 +41,9 @@ class PlanSpec extends AnyFunSuite {
     import spark.implicits._
     val n = 600
     val cfg = GraftConfig(heavyBandKeyCap = 50, heavyDetectSampleFrac = -1.0)
-    // one giant band group (identical fingerprints) — the adversarial case
-    val reps = spark.range(n).select(
-      format_string("u%05d", col("id")).as("url"),
-      lit(0x1234abcdL).as("simhash_head"), lit(0x5678efL).as("simhash_tail"),
-      array_repeat(lit(7L), cfg.minhashBands).as("mh_bands_head"),
-      array_repeat(lit(8L), cfg.minhashBands).as("mh_bands_tail"),
-      array_repeat(lit(9L), cfg.numPerm / 2).as("mh_rescue_head"),
-      array_repeat(lit(10L), cfg.numPerm / 2).as("mh_rescue_tail"),
-      lit(100L).as("text_len"), lit(1000L).as("size"))
+    // one giant band group (identical fingerprints) — the adversarial case;
+    // fixture shared with HeavyKeyStrategySpec via SparkTest
+    val reps = SparkTest.giantBandGroupReps(n, cfg)
     val pairs = Candidates.candidatePairs(reps, cfg)
     pairs.collect()
     val plan = pairs.queryExecution.executedPlan.toString

@@ -76,12 +76,27 @@ class EmptyInputSpec extends AnyFunSuite {
   }
 
   test("duplicate-free input: zero matched pairs, all singleton clusters") {
-    // one unique plain doc (corpus index 0 family is unique originals at tiny n)
-    val pages = CorpusSpark.pages(spark, 3L, 2, cfg.seed)
+    import spark.implicits._
+    // independent Base rows from non-skew groups (g=1,3: g%37 != 0, r in 1..5
+    // — never a variant row, never the shared-boilerplate skew family); each
+    // is an independently seeded random token stream, so the set is
+    // genuinely duplicate-free. (Indices 0..2 would all be SkewBase rows
+    // sharing a 400-token boilerplate prefix — near-duplicates.)
+    val seed = cfg.seed // local copy: the closure must not capture the suite
+    val pages = Seq(17L, 18L, 19L, 49L, 51L).toDS()
+      .map(i => graft.data.Corpus.page(i, seed)).toDF()
     val res = Pipeline.run(pages, cfg)
     val m = res.metrics.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(m("signatures") > 0L)
-    assert(m("dup_clusters") >= 0L) // must not throw on sparse/empty aggregates
+    assert(m("signatures") === 5L)
+    assert(m("matched_pairs") === 0L)
+    assert(m("dup_clusters") === 0L)
+    assert(m("docs_in_dup_clusters") === 0L)
+    // every document is its own singleton cluster and its own keeper
+    val clusters = res.clusters.select("url", "cluster_id", "is_keeper", "size")
+      .collect()
+    assert(clusters.length === 5)
+    assert(clusters.map(_.getString(1)).distinct.length === 5, "non-singleton cluster")
+    assert(clusters.forall(_.getBoolean(2)), "a singleton must be its own keeper")
   }
 }
 

@@ -121,18 +121,53 @@ class StoreGcQuerySpec extends AnyFunSuite {
 class KernelHardeningSpec extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
 
-  test("dropCaseDuplicateUrls keeps the earliest SAME-url re-crawl " +
-    "instead of dropping the document entirely") {
+  test("dropCaseDuplicateUrls layers newest-per-url re-crawl supersedence " +
+    "under the earliest-per-lower(url) case rule (matches the live view)") {
     import spark.implicits._
     val pages = Seq(
+      // SAME-url re-crawl: newest wins (layer 1), then beats the later
+      // case-variant under the earliest-wins case rule (layer 2)
       ("https://a/x", Timestamp.valueOf("2026-01-01 00:00:00"), "old"),
       ("https://a/x", Timestamp.valueOf("2026-01-02 00:00:00"), "new"),
       ("https://A/X", Timestamp.valueOf("2026-01-03 00:00:00"), "case-dup"),
-      ("https://b/y", Timestamp.valueOf("2026-01-01 00:00:00"), "only")
+      ("https://b/y", Timestamp.valueOf("2026-01-01 00:00:00"), "only"),
+      // pure case-variant pair, no re-crawl: earliest warc_ts wins even
+      // though its url is the upper-case spelling
+      ("https://c/z", Timestamp.valueOf("2026-01-02 00:00:00"), "later-lower"),
+      ("HTTPS://C/Z", Timestamp.valueOf("2026-01-01 00:00:00"), "early-upper")
     ).toDF("url", "warc_ts", "text")
     val kept = Fingerprints.dropCaseDuplicateUrls(pages)
       .select("url", "text").collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(kept === Set(("https://a/x", "old"), ("https://b/y", "only")))
+    assert(kept === Set(
+      ("https://a/x", "new"),
+      ("https://b/y", "only"),
+      ("HTTPS://C/Z", "early-upper")))
+  }
+
+  test("batch-split invariance: a same-url re-crawl yields the same " +
+    "surviving (url, warc_ts) set one-shot vs split across increments") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val cfg = graft.core.GraftConfig()
+    val batch1 = graft.data.CorpusSpark.pages(spark, 64L, 4, cfg.seed)
+    // re-crawl half the urls one day later (same text, fresh capture)
+    val batch2 = batch1.filter(xxhash64(col("url")) % 2 === 0)
+      .withColumn("warc_ts",
+        timestamp_millis(unix_millis(col("warc_ts")) + 86400000L))
+
+    val oneShot = Fingerprints.fromPages(batch1.unionByName(batch2), cfg)
+      .select(col("url"), unix_millis(col("warc_ts")))
+      .as[(String, Long)].collect().toSet
+
+    val store = graft.store.IcebergShaped.table(
+      Files.createTempDirectory("graft-splitinv").toString)
+    Resume.incrementalFingerprints(batch1, store, cfg)
+    val live = Resume.incrementalFingerprints(batch2, store, cfg).signatures
+      .select(col("url"), unix_millis(col("warc_ts")))
+      .as[(String, Long)].collect().toSet
+
+    assert(live === oneShot,
+      "identical crawl data split into batches must elect identical survivors")
   }
 
   test("unescape leaves malformed/out-of-range numeric entities verbatim") {
