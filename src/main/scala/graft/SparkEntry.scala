@@ -385,6 +385,7 @@ object SparkEntry {
 
     // ---- text analysis over documents ----
     "q_token_count" -> ((s, d) => TextOps.tokenCounts(t(s, d, "documents"))),
+    "q_subword_count" -> ((s, d) => TextOps.subwordCounts(t(s, d, "documents"))),
     "q_quality_signals" -> ((s, d) => TextOps.qualitySignals(t(s, d, "documents"))),
     "q_quality_score" -> ((s, d) => TextOps.qualityScore(t(s, d, "documents"))),
     "q_lang_id" -> ((s, d) => TextOps.langId(t(s, d, "documents"))),
@@ -963,6 +964,21 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // RE2 (DuckDB) has no lookarounds, so the Spark side's zero-width split
+    // boundaries are reproduced by INSERTING a space at each boundary with
+    // capture-group replaces, then counting non-empty whitespace tokens:
+    // letter<->digit, lower->UPPER, and before every punctuation char
+    "q_subword_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '([A-Za-z])([0-9])', '\1 \2', 'g'),
+        |      '([0-9])([A-Za-z])', '\1 \2', 'g'),
+        |      '([a-z])([A-Z])', '\1 \2', 'g'),
+        |      '([^A-Za-z0-9\s])', ' \1', 'g'),
+        |    '\s+'), x -> x <> '')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_quality_signals" ->
       """SELECT doc_id,
         |       CAST(length(text) AS BIGINT) AS n_chars_m,
@@ -1102,8 +1118,11 @@ object SparkEntry {
         |WHERE est_jaccard >= 0.5
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
+    // simhash = 0 is the invalid/low-entropy sentinel, excluded from pairing
+    // on both sides (same rule as the Spark operator)
     "q_simhash_dedup" ->
-      """WITH s AS (SELECT * FROM read_parquet('{AUX}/doc_simhashes/*.parquet'))
+      """WITH s AS (SELECT * FROM read_parquet('{AUX}/doc_simhashes/*.parquet')
+        |           WHERE simhash <> 0)
         |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -25,24 +25,10 @@ final class Shingler(k: Int, seed: Long) {
     out
   }
 
-  /** Hash of the window tokenHashes[from, from+len). */
-  private def windowHash(th: Array[Long], from: Int, len: Int, buf: Array[Byte]): Long = {
-    var i = 0
-    while (i < len) {
-      val v = th(from + i)
-      val o = i << 3
-      buf(o) = v.toByte
-      buf(o + 1) = (v >>> 8).toByte
-      buf(o + 2) = (v >>> 16).toByte
-      buf(o + 3) = (v >>> 24).toByte
-      buf(o + 4) = (v >>> 32).toByte
-      buf(o + 5) = (v >>> 40).toByte
-      buf(o + 6) = (v >>> 48).toByte
-      buf(o + 7) = (v >>> 56).toByte
-      i += 1
-    }
-    XXH64.hashBytes(buf, 0, len << 3, seed)
-  }
+  /** Hash of the window tokenHashes[from, from+len) — delegates to the
+    * single LE-pack kernel in [[XXH64.hashLongsLE]]. */
+  private def windowHash(th: Array[Long], from: Int, len: Int, buf: Array[Byte]): Long =
+    XXH64.hashLongsLE(th, from, len, seed, buf)
 
   /** Distinct sorted shingle hashes over tokenHashes[from, until).
     * If the span is shorter than k but non-empty, the whole span is one

@@ -99,4 +99,29 @@ object XXH64 {
     h = rotl(h, 27) * P1 + P4
     avalanche(h)
   }
+
+  /** XXH64 over `n` longs from `arr(from)`, serialized little-endian — THE
+    * single definition of the long-array hashing kernel shared by shingle
+    * window hashes (core.Shingler) and the native expression's band keys
+    * (functions.FingerprintKernel): the two must stay bit-identical or band
+    * keys silently desynchronize from shingle hashes. `buf` must hold at
+    * least n*8 bytes; hot loops pass a reused buffer. */
+  def hashLongsLE(arr: Array[Long], from: Int, n: Int, seed: Long,
+                  buf: Array[Byte]): Long = {
+    var i = 0
+    while (i < n) {
+      val v = arr(from + i)
+      val o = i << 3
+      buf(o) = v.toByte
+      buf(o + 1) = (v >>> 8).toByte
+      buf(o + 2) = (v >>> 16).toByte
+      buf(o + 3) = (v >>> 24).toByte
+      buf(o + 4) = (v >>> 32).toByte
+      buf(o + 5) = (v >>> 40).toByte
+      buf(o + 6) = (v >>> 48).toByte
+      buf(o + 7) = (v >>> 56).toByte
+      i += 1
+    }
+    hashBytes(buf, 0, n << 3, seed)
+  }
 }

@@ -139,20 +139,8 @@ final class FingerprintKernel(cfg: GraftConfig) extends Serializable {
     row
   }
 
-  private def hashRows(sigArr: Array[Long], from: Int, n: Int, seed: Long): Long = {
-    val buf = new Array[Byte](n << 3)
-    var i = 0
-    while (i < n) {
-      val v = sigArr(from + i)
-      val o = i << 3
-      buf(o) = v.toByte; buf(o + 1) = (v >>> 8).toByte
-      buf(o + 2) = (v >>> 16).toByte; buf(o + 3) = (v >>> 24).toByte
-      buf(o + 4) = (v >>> 32).toByte; buf(o + 5) = (v >>> 40).toByte
-      buf(o + 6) = (v >>> 48).toByte; buf(o + 7) = (v >>> 56).toByte
-      i += 1
-    }
-    XXH64.hashBytes(buf, 0, n << 3, seed)
-  }
+  private def hashRows(sigArr: Array[Long], from: Int, n: Int, seed: Long): Long =
+    XXH64.hashLongsLE(sigArr, from, n, seed, new Array[Byte](n << 3))
 
   def bandKeys(sigArr: Array[Long]): Array[Long] =
     if (sigArr == null) Array.emptyLongArray

@@ -126,11 +126,18 @@ object AnnOps {
       .orderBy("query_id", "rank")
   }
 
-  /** Recall of the LSH path against the brute-force baseline (diagnostic). */
-  def lshRecall(emb: DataFrame, k: Int = 5, nQueries: Int = 10): Double = {
+  /** Recall of the LSH path against the brute-force baseline (diagnostic).
+    * The LSH knobs pass through so the recall measured is the recall of the
+    * caller's actual configuration, and the O(n*nQueries) brute-force plan
+    * is collected ONCE (intersect + count would otherwise execute the
+    * crossJoin twice). */
+  def lshRecall(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nBits: Int = 12,
+                probes: Int = 4, seed: Long = 42L): Double = {
     val exact = bruteTopK(emb, k, nQueries).select("query_id", "neighbor_id")
-    val approx = lshTopK(emb, k, nQueries).select("query_id", "neighbor_id")
-    val hit = exact.intersect(approx).count()
-    hit.toDouble / math.max(exact.count(), 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = lshTopK(emb, k, nQueries, nBits, probes, seed)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exact & approx).size.toDouble / math.max(exact.size, 1)
   }
 }

@@ -57,15 +57,25 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  /** Dense r=2 minhash band keys from a signature — ONE definition for every
-    * banded operator here (splitNgramBands + ngramJaccard): a drift between
-    * copies would silently change candidate recall for one operator only.
+  /** Chained minhash band keys — THE single definition of the
+    * slot-fold-into-seed hash chain for every banded operator here
+    * (splitNgramBands + ngramJaccard via [[bandKeysR2]], and the
+    * configurable-rows banding in [[fingerprint]]): a drift between copies
+    * would silently change candidate recall for one operator only.
     * Null signature (too few shingles) -> no band keys. */
-  private def bandKeysR2(sig: Array[Long], cfg: GraftConfig): Array[Long] =
+  private def chainedBandKeys(sig: Array[Long], nBands: Int, rows: Int,
+                              seed: Long): Array[Long] =
     if (sig == null) Array.emptyLongArray
-    else Array.tabulate(cfg.numPerm / 2) { b =>
-      XXH64.hashLong(sig(2 * b + 1), XXH64.hashLong(sig(2 * b), cfg.seed + b))
+    else Array.tabulate(nBands) { b =>
+      var acc = seed + b
+      var i = 0
+      while (i < rows) { acc = XXH64.hashLong(sig(b * rows + i), acc); i += 1 }
+      acc
     }
+
+  /** Dense r=2 instance of [[chainedBandKeys]]. */
+  private def bandKeysR2(sig: Array[Long], cfg: GraftConfig): Array[Long] =
+    chainedBandKeys(sig, cfg.numPerm / 2, 2, cfg.seed)
 
   /** Per-doc fingerprint record used by the near-dup variants. */
   private[ops] final case class DocFp(
@@ -84,15 +94,8 @@ object DedupOps {
         val shingles = sh.hashesOf(th, 0, th.length)
         val sim = SimHash64.of(shingles, 1)
         val sig = mh.signature(shingles)
-        val rows = cfg.minhashRowsPerBand
         val bands: Array[Long] =
-          if (sig == null) Array.emptyLongArray
-          else Array.tabulate(cfg.minhashBands) { b =>
-            var acc = cfg.seed + b
-            var i = 0
-            while (i < rows) { acc = XXH64.hashLong(sig(b * rows + i), acc); i += 1 }
-            acc
-          }
+          chainedBandKeys(sig, cfg.minhashBands, cfg.minhashRowsPerBand, cfg.seed)
         DocFp(id, sim, if (sig == null) Array.emptyLongArray else sig, bands, shingles, toks.length)
       }
     }
@@ -153,7 +156,14 @@ object DedupOps {
     require(64 % sliceBits == 0, "slices must tile 64 bits")
     val nSlices = 64 / sliceBits
     val mask = (1L << sliceBits) - 1
+    // 0L is SimHash64's invalid/low-entropy sentinel (Fingerprint.scala:
+    // "callers map 0L to a NULL column"), not a fingerprint: null/empty/
+    // whitespace docs all produce it, and comparing sentinels would report
+    // every such pair as hamming-0 dups AND pile them into one band bucket
+    // (O(m^2) on content-free rows). The DuckDB oracle applies the same
+    // simhash <> 0 rule.
     val fp = registerPersist(fingerprint(docs, cfg, k).toDF())
+      .filter(col("simhash") =!= 0L)
     val slices = fp.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until nSlices).map(i =>
         shiftrightunsigned(col("simhash"), i * sliceBits).bitwiseAND(lit(mask))): _*))
@@ -172,12 +182,17 @@ object DedupOps {
   /** Whitespace-token n-gram DISTINCT set as a Column — built on `split` so a
     * SQL oracle (string_split + list_transform) reproduces the exact set.
     * Spans shorter than n collapse to one whole-span shingle, like
-    * core.Shingler. */
+    * core.Shingler. NULL text -> NULL set (the family rule: unknown content
+    * is never a proven duplicate — without the guard, `greatest` skips the
+    * null length and `concat_ws` swallows the null slice, so null text
+    * collapses to the set {""} and two null-text docs verify at jaccard 1);
+    * the SQL side gets this for free (string_split(NULL) stays NULL). */
   private def ngramSetCol(text: org.apache.spark.sql.Column, n: Int) = {
     val toks = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
+    when(text.isNotNull,
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
   /** Dense r=2 minhash band keys computed over the SAME split-on-space
@@ -194,7 +209,11 @@ object DedupOps {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].mapPartitions { it =>
       val mh = new MinHasher(cfg.numPerm, cfg.seed)
-      it.map { case (id, text) =>
+      it.map {
+        // null text: unknown content -> no band keys, never a candidate
+        // (matches ngramSetCol's NULL set; without this, text.split NPEs)
+        case (id, null) => (id, Array.emptyLongArray)
+        case (id, text) =>
         val toks = text.split(" ", -1) // = Spark split(text, " "): keeps empties
         val upto = math.max(toks.length - (n - 1), 1)
         val seen = new java.util.HashSet[String]()
@@ -259,6 +278,10 @@ object DedupOps {
                         jacNum: Int = 1, jacDen: Int = 20): DataFrame = {
     val sets = docs.select(col(blockCol).as("block"), col("doc_id"),
       ngramSetCol(col("text"), n).as("ng"))
+      // null text -> NULL set: drop before the all-pairs join (never a
+      // proven duplicate; also keeps unknown-content rows out of the block's
+      // quadratic pairing volume)
+      .filter(col("ng").isNotNull)
     val a = sets.toDF("block", "doc_id_a", "ng_a")
     val b = sets.toDF("block", "doc_id_b", "ng_b")
     a.join(b, "block")
@@ -361,26 +384,38 @@ object DedupOps {
     * independent sketches the miss rate is ~0.19^R (default R=3: < 0.7%);
     * raise `sketches` (or use an explicit blockCol, or brute-force) when
     * recall matters more than join volume, which grows linearly in R.
+    *
+    * Only ONE join side multi-probes (the lshTopK shape): a 1-bit-differing
+    * pair is found by flipping that bit on either side, so probing both
+    * sides buys no recall at that radius while inflating the probed-side
+    * row volume (nBits+1 rows/vec/sketch) into BOTH join inputs — the
+    * candidate volume the miss model above prices assumes one probed side.
     * Candidate pairs are deduped across sketches BEFORE the cosine math,
     * and embeddings join back at candidate volume (slim key join, not
     * payload through the band shuffle). */
   def embeddingCosineDup(emb: DataFrame, threshold: Double = 0.95,
                          blockCol: Option[String] = None, nBits: Int = 8,
                          seed: Long = 42L, sketches: Int = 3): DataFrame = {
-    val blocked: DataFrame = blockCol match {
+    val (ba, bb) = blockCol match {
       case Some(c) =>
-        emb.select(col("vec_id"), col(c).cast("string").as("block"))
+        val blk = emb.select(col("vec_id"), col(c).cast("string").as("block"))
+        (blk.toDF("vec_id_a", "block"), blk.toDF("vec_id_b", "block"))
       case None =>
-        (0 until sketches).map { r =>
+        val sides = (0 until sketches).map { r =>
           val sk = AnnOps.hyperplaneSketch(emb, nBits, seed + 7919L * r)
-          sk.withColumn("probe", explode(array((lit(-1) +: (0 until nBits).map(lit)): _*)))
+          val probed = sk
+            .withColumn("probe", explode(array((lit(-1) +: (0 until nBits).map(lit)): _*)))
             .withColumn("block",
               concat(lit(s"$r:"), AnnOps.probedBucket(col("bucket")).cast("string")))
             .select(col("vec_id"), col("block"))
-        }.reduce(_ unionByName _)
+          val exact = sk
+            .select(col("vec_id"),
+              concat(lit(s"$r:"), col("bucket").cast("string")).as("block"))
+          (probed, exact)
+        }
+        (sides.map(_._1).reduce(_ unionByName _).toDF("vec_id_a", "block"),
+          sides.map(_._2).reduce(_ unionByName _).toDF("vec_id_b", "block"))
     }
-    val ba = blocked.toDF("vec_id_a", "block")
-    val bb = blocked.toDF("vec_id_b", "block")
     val candIds = ba.join(bb, "block")
       .filter(col("vec_id_a") < col("vec_id_b"))
       .select("vec_id_a", "vec_id_b").distinct()

@@ -62,7 +62,13 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { case (id, payload) =>
           positions.zipWithIndex.map { case (pct, idx) =>
-            FrameFeatures(id, idx, pct, decoder.frameFeatures(payload, pct, dim))
+            // null payload (e.g. syntheticMedia over a null-text doc): no
+            // bytes to decode -> null features, and the decoder contract
+            // stays "payload is never null" for real JNI/FFmpeg bindings
+            val feats =
+              if (payload == null) null
+              else decoder.frameFeatures(payload, pct, dim)
+            FrameFeatures(id, idx, pct, feats)
           }
         }
       }

@@ -18,13 +18,20 @@ object TextOps {
       .orderBy("doc_id")
 
   /** BPE-ish subword count estimate: whitespace tokens plus extra splits on
-    * character-class boundaries (letters vs digits vs punctuation) — the
-    * cheap proxy for tokenizer load used when the real tokenizer is not on
-    * the cluster. */
+    * character-class boundaries (letters vs digits, lower->UPPER camel
+    * humps, and before each punctuation char) — the cheap proxy for
+    * tokenizer load used when the real tokenizer is not on the cluster.
+    * Letter classes include uppercase: an acronym like "NASA" is ONE
+    * subword, not one per capital (the lower-case-only classes of the first
+    * cut split it into letters and missed "A1"-style boundaries entirely).
+    * The DuckDB oracle (q_subword_count) reproduces the identical boundary
+    * set by inserting spaces with capture-group replaces — RE2 has no
+    * lookarounds, so the oracle can't share this regex verbatim. */
   def subwordCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(filter(split(col("text"), "[\\s]+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])|(?=[^a-z0-9\\s])"),
+      size(filter(split(col("text"),
+        "[\\s]+|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?<=[a-z])(?=[A-Z])|(?=[^A-Za-z0-9\\s])"),
         t => length(t) > 0)).cast("long").as("n_subwords"))
       .orderBy("doc_id")
 

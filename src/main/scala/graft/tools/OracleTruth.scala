@@ -24,7 +24,9 @@ object OracleTruth {
     // F1: case-insensitive url distinct, keep earliest (warc_ts == index order)
     val keptIdx = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     for (i <- 0L until n) {
-      val lower = Corpus.urlOf(i).toLowerCase
+      // Locale.ROOT: Spark's lower() is locale-independent — a default-locale
+      // toLowerCase would diverge on e.g. tr-TR JVMs ('I' -> dotless 'ı')
+      val lower = Corpus.urlOf(i).toLowerCase(java.util.Locale.ROOT)
       if (!keptIdx.contains(lower)) keptIdx(lower) = i
     }
 
