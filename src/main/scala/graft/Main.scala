@@ -20,9 +20,13 @@ import graft.store.IcebergShaped
   */
 object Main {
 
-  private val knownFlags = Set(
-    "threshold", "exact-verify", "substring-pass", "langs", "pages",
-    "store", "out")
+  // boolean flags never consume the next token (|--substring-pass bench|
+  // must not swallow the command); value flags REQUIRE one (|--langs| with
+  // no value would otherwise become the literal filter lang IN ('true'),
+  // matching nothing and silently emptying the whole run)
+  private val boolFlags = Set("exact-verify", "substring-pass")
+  private val valueFlags = Set("threshold", "langs", "pages", "store", "out")
+  private val knownFlags = boolFlags ++ valueFlags
 
   private def usage(msg: String): Nothing = {
     System.err.println(s"[graft] $msg")
@@ -33,7 +37,7 @@ object Main {
     sys.exit(2)
   }
 
-  private def parseArgs(args: Array[String]): Map[String, String] = {
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     val m = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -43,9 +47,10 @@ object Main {
           // unknown flags fail fast: a typo ('--substring-pas') would
           // otherwise run the whole job silently with the default behavior
           if (!knownFlags(key)) usage(s"unknown flag --$key")
-          if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          if (boolFlags(key)) { m(key) = "true"; i += 1 }
+          else if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
             m(key) = args(i + 1); i += 2
-          } else { m(key) = "true"; i += 1 }
+          } else usage(s"--$key expects a value")
         case other => m("command") = other; i += 1
       }
     }
@@ -104,15 +109,20 @@ object Main {
 
     command match {
       case "dedup" =>
+        val thr = intFlag(opts, "threshold", 89)
+        if (thr < 1 || thr > 100)
+          usage(s"--threshold must be in 1..100, got $thr")
         val cfg = GraftConfig(
-          threshold = intFlag(opts, "threshold", 89),
+          threshold = thr,
           exactVerify = opts.contains("exact-verify"),
           substringPass = opts.contains("substring-pass"),
           langFilter = opts.get("langs").map(_.split(",").toSet))
         val pagesSpec = opts.getOrElse("pages", "synth:10000")
         val pages =
           if (pagesSpec.startsWith("synth:"))
-            CorpusSpark.pages(spark, pagesSpec.stripPrefix("synth:").toLong,
+            CorpusSpark.pages(spark,
+              pagesSpec.stripPrefix("synth:").toLongOption.filter(_ > 0L)
+                .getOrElse(usage(s"--pages synth:N expects a positive integer, got '$pagesSpec'")),
               spark.sparkContext.defaultParallelism * 2, cfg.seed)
           else {
             // S3 multi-root union + S4 missing-root diagnostics: ';'- or

@@ -26,6 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // DedupOps' internal persists are per-invocation (no cross-query
+      // reuse — unlike SparkEntry's deliberate pipelineCache), so release
+      // them after each materialized write: the ~57-query loop would
+      // otherwise hold every operator's fingerprint/n-gram caches at once
+      graft.ops.DedupOps.cleanupCaches()
     }
     // aux inputs for the DuckDB oracles of non-SQL operators (the '{AUX}'
     // placeholder in oracleSql resolves to this absolute dir)

@@ -23,9 +23,11 @@ object Actions {
   /** Derive drop/keep actions from the clustered output (clusters must carry
     * is_keeper, size). */
   def fromClusters(clusters: DataFrame): DataFrame = {
+    // rank window shares Clusters.keeperOrdering so action='keep' <=>
+    // rank_in_cluster=1 can never drift apart
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
-      .orderBy(col("size").desc, col("text_len").desc, col("warc_ts").asc, col("url").asc)
+      .orderBy(Clusters.keeperOrdering: _*)
     clusters
       .withColumn("rank_in_cluster", row_number().over(w).cast("long"))
       .withColumn("action", when(col("is_keeper"), lit("keep")).otherwise(lit("drop")))

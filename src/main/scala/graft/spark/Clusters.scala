@@ -273,9 +273,15 @@ object Clusters {
     * (comparison.cpp:266-343). Per cluster: rank by size desc, text_len desc,
     * warc_ts asc (older capture = the original), url asc (total order =>
     * deterministic). Rank 1 is the keeper. */
+  /** THE keeper-election ordering (W1): one definition, shared by
+    * [[electKeepers]] and Actions.fromClusters' rank_in_cluster window — the
+    * invariant action='keep' <=> rank_in_cluster=1 holds only while both
+    * windows sort identically. */
+  private[graft] def keeperOrdering: Seq[org.apache.spark.sql.Column] =
+    Seq(col("size").desc, col("text_len").desc, col("warc_ts").asc, col("url").asc)
+
   def electKeepers(clusters: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("size").desc, col("text_len").desc, col("warc_ts").asc, col("url").asc)
+    val w = Window.partitionBy(col("cluster_id")).orderBy(keeperOrdering: _*)
     clusters.withColumn("is_keeper", row_number().over(w) === 1)
   }
 

@@ -70,15 +70,31 @@ object Pipeline {
                      persistLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK)
       : (Result, Resume.IncrementalResult) = {
     val inc = Resume.incrementalFingerprints(scan(pages, cfg), store, cfg)
-    if (cfg.substringPass && inc.skipped > 0)
-      System.err.println(
-        "[graft] substringPass on an incremental run: `pages` must be the " +
-          "LIVE page source (both sides of every possible pair), not just " +
-          "the new batch — store-resident candidates whose text is missing " +
-          "from `pages` cannot substring-match (they are kept, unmatched)")
     val sigs = inc.signatures.persist(persistLevel)
+    warnIfSubstringTextMissing(sigs, inc, cfg)
     (downstream(sigs, pages, cfg, persistLevel), inc)
   }
+
+  /** The substringPass incremental hazard is live store rows whose TEXT is
+    * absent from `pages` — those candidates are retained unmatched. Every
+    * input row lands in the live view (committed or already resident), so
+    * the hazard is detectable exactly as live rows exceeding input rows.
+    * (A previous cut warned on `skipped > 0`, which fires on the CORRECT
+    * usage — full live corpus passed, store satisfies most of it — and
+    * stays silent on the hazardous batch-only shape.) Costs one count on
+    * the already-persisted live view, which downstream materializes anyway. */
+  private def warnIfSubstringTextMissing(liveSigs: DataFrame,
+                                         inc: Resume.IncrementalResult,
+                                         cfg: GraftConfig): Unit =
+    if (cfg.substringPass) {
+      val inputRows = inc.newlyFingerprinted + inc.skipped
+      if (liveSigs.count() > inputRows)
+        System.err.println(
+          "[graft] substringPass on an incremental run: `pages` must be the " +
+            "LIVE page source (both sides of every possible pair), not just " +
+            "the new batch — store-resident candidates whose text is missing " +
+            "from `pages` cannot substring-match (they are kept, unmatched)")
+    }
 
   /** Carry-over state for [[runIncrementalScoped]]: the previous run's rep
     * set (with content_id, for stale detection), its scored pairs table
@@ -91,8 +107,17 @@ object Pipeline {
     * increment until analysis itself becomes the bottleneck. Checkpointing
     * makes each increment's plans O(this increment). On a real cluster the
     * durable version of this hand-off is the store itself (write
-    * pairs/assign as tables, read them back next increment). */
-  final case class IncState(reps: DataFrame, pairs: DataFrame, repAssign: DataFrame)
+    * pairs/assign as tables, read them back next increment).
+    *
+    * `retained` carries the generation's still-persisted frames (the live
+    * sigs view + reps — the Result references them lazily, so they cannot
+    * be released at return); the NEXT scoped call unpersists them on entry,
+    * keeping a k-increment chain's cache footprint O(one increment) instead
+    * of k persisted corpus-sized frame pairs. Consequence: a previous
+    * increment's lazy Result frames (signatures, metrics) recompute from
+    * lineage if consumed after the next increment starts. */
+  final case class IncState(reps: DataFrame, pairs: DataFrame, repAssign: DataFrame,
+                            retained: Seq[DataFrame] = Nil)
 
   /** Incremental entry SCOPED to the increment (SURVEY §2.10 "re-cluster
     * affected components"; reference analog mainwindow.cpp:153-154 — skip
@@ -134,6 +159,7 @@ object Pipeline {
       : (Result, Resume.IncrementalResult, IncState) = {
     val inc = Resume.incrementalFingerprints(scan(pages, cfg), store, cfg)
     val sigs = inc.signatures.persist(persistLevel)
+    warnIfSubstringTextMissing(sigs, inc, cfg)
 
     // ONE exact-group derivation shared with pairStage (the grouping rule —
     // min-url election per text_md5 — must never diverge between the scoped
@@ -151,10 +177,15 @@ object Pipeline {
         val state = IncState(reps.localCheckpoint(),
           res.pairs.drop("id_a", "id_b").localCheckpoint(),
           res.clusters.join(reps.select("url"), Seq("url"), "left_semi")
-            .select(col("url"), col("cluster_id")).localCheckpoint())
+            .select(col("url"), col("cluster_id")).localCheckpoint(),
+          retained = Seq(sigs, reps))
         (res, inc, state)
 
       case Some(st) =>
+        // release the PREVIOUS generation's persisted corpus-sized frames
+        // (live sigs + reps): the state hand-off is all checkpoint leaves,
+        // so nothing in this increment reads them — see IncState.retained
+        st.retained.foreach(_.unpersist(false))
         // new/changed vs stale reps by (url, content_id): a re-crawled url
         // (new warc_ts -> new content_id) is BOTH stale (old pairs invalid)
         // and new (delta candidates regenerate them); a demoted rep (its
@@ -210,12 +241,14 @@ object Pipeline {
               ("untouched_clusters", splice.untouchedClusters)).toDF("metric", "value"))
 
         val res = Result(sigs, rejects, pairs, clusters, metrics)
-        val state = IncState(reps.localCheckpoint(), pairs, repAssign)
+        val state = IncState(reps.localCheckpoint(), pairs, repAssign,
+          retained = Seq(sigs, reps))
         // every returned frame is a checkpoint leaf (pairs, repAssign,
         // clusters, state.reps) or persisted in its own right (sigs, reps —
-        // metrics still aggregates them): the increment-local caches and
-        // the candidate layer's internals can be released, keeping a long
-        // incremental chain's cache footprint O(one increment)
+        // metrics still aggregates them; the NEXT increment releases them
+        // via state.retained): the increment-local caches and the candidate
+        // layer's internals are released here, keeping a long incremental
+        // chain's cache footprint O(one increment)
         newUrls.unpersist(false); staleUrls.unpersist(false)
         delta.unpersist(false); members.unpersist(false)
         Candidates.cleanupCaches()
@@ -224,8 +257,9 @@ object Pipeline {
   }
 
   /** S2 analog (extension filter): lang predicate on the scan — pushed to
-    * the source by Catalyst (row-group skip on Parquet). */
-  private def scan(pages: DataFrame, cfg: GraftConfig): DataFrame =
+    * the source by Catalyst (row-group skip on Parquet). Shared with the
+    * streaming ingest sink: every entry into fingerprinting applies it. */
+  private[graft] def scan(pages: DataFrame, cfg: GraftConfig): DataFrame =
     cfg.langFilter match {
       case Some(ls) => pages.filter(col("lang").isin(ls.toSeq: _*))
       case None => pages
@@ -335,6 +369,14 @@ object Pipeline {
       ("phase_candidates_ms", tCandidates),
       ("phase_clustering_ms", tClustering)
     ).toDF("metric", "value")
+
+    // same release discipline as downstream(): pairs and clusters are fully
+    // materialized by the per-phase aggregation actions above, so the
+    // candidate layer's registered persists and the members frame can go —
+    // without this, profiled runs pinned them for the session lifetime (or
+    // until an unrelated later run's cleanup yanked them mid-consumer)
+    Candidates.cleanupCaches()
+    ps.members.unpersist(false)
 
     Result(sigs, ps.rejects, ps.pairs, clusters, metrics)
   }

@@ -38,19 +38,29 @@ object StreamingIngest {
   /** Micro-batch ingest into the signatures store via the batch resume path:
     * new content is fingerprinted and committed as one snapshot per
     * non-empty batch; already-seen content_ids are skipped (idempotent under
-    * replay). */
+    * replay). Each batch goes through the SAME scan filter (S2) as the
+    * batch entry — without it, out-of-filter pages would be fingerprinted
+    * and committed to the store forever. The default trigger drains
+    * available data and stops (backfill shape); continuous ingest passes
+    * e.g. `Trigger.ProcessingTime("1 minute")`. */
   def ingestToStore(pagesStream: DataFrame, store: IcebergShaped.Table,
                     cfg: GraftConfig,
-                    checkpointDir: String): StreamingQuery =
+                    checkpointDir: String,
+                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     pagesStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          Resume.incrementalFingerprints(batch, store, cfg)
-          ()
-        }
+        // one persist per batch: the resume path otherwise re-evaluates the
+        // source (emptiness probe, pre-fingerprint count, commit job)
+        val scanned = graft.spark.Pipeline.scan(batch, cfg).persist()
+        try {
+          if (!scanned.isEmpty) {
+            Resume.incrementalFingerprints(scanned, store, cfg)
+            ()
+          }
+        } finally { scanned.unpersist(false); () }
       }
       .start()
 

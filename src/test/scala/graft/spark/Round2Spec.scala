@@ -232,4 +232,16 @@ class RootValidationSpec extends AnyFunSuite {
     assert(ok === Seq("nosuchscheme://bucket/prefix"))
     assert(logged.isEmpty)
   }
+
+  test("CLI parse: a boolean flag never swallows the following command") {
+    // the old parser read '--substring-pass bench' as substring-pass=bench
+    // with NO command, silently running the default dedup job instead
+    val m = graft.Main.parseArgs(Array("--substring-pass", "bench"))
+    assert(m.get("command") === Some("bench"))
+    assert(m.get("substring-pass") === Some("true"))
+    val m2 = graft.Main.parseArgs(
+      Array("dedup", "--exact-verify", "--langs", "en,de", "--threshold", "80"))
+    assert(m2("command") === "dedup" && m2("exact-verify") === "true")
+    assert(m2("langs") === "en,de" && m2("threshold") === "80")
+  }
 }

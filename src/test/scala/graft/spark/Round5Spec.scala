@@ -88,6 +88,23 @@ class IncrementalScopedSpec extends AnyFunSuite {
       col("url_b") === victim && col("matched")).isEmpty)
   }
 
+  test("increment chain releases the previous generation's corpus-sized " +
+      "caches (IncState.retained): footprint stays O(one increment)") {
+    import org.apache.spark.storage.StorageLevel
+    val store = tmpStore()
+    val (r1, _, s1) = Pipeline.runIncrementalScoped(
+      CorpusSpark.pages(spark, 200L, 4, cfg.seed), store, None, cfg)
+    r1.metrics.collect()
+    assert(s1.retained.nonEmpty &&
+      s1.retained.forall(_.storageLevel != StorageLevel.NONE))
+    val (r2, _, s2) = Pipeline.runIncrementalScoped(
+      CorpusSpark.pages(spark, 300L, 4, cfg.seed), store, Some(s1), cfg)
+    r2.metrics.collect()
+    assert(s1.retained.forall(_.storageLevel == StorageLevel.NONE),
+      "previous generation's sigs/reps still cached after the next increment")
+    assert(s2.retained.forall(_.storageLevel != StorageLevel.NONE))
+  }
+
   test("no-op increment: nothing re-clusters, assignment unchanged") {
     val store = tmpStore()
     val base = CorpusSpark.pages(spark, 300L, 4, cfg.seed)
