@@ -967,7 +967,10 @@ object SparkEntry {
     // RE2 (DuckDB) has no lookarounds, so the Spark side's zero-width split
     // boundaries are reproduced by INSERTING a space at each boundary with
     // capture-group replaces, then counting non-empty whitespace tokens:
-    // letter<->digit, lower->UPPER, and before every punctuation char
+    // letter<->digit, lower->UPPER, and before every punctuation char.
+    // \x0B appears explicitly next to every \s: Java's \s includes vertical
+    // tab, RE2's does not — without it the oracle counts a VT as an extra
+    // punctuation token (engine-class divergence, round-5 review).
     "q_subword_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(
@@ -975,8 +978,8 @@ object SparkEntry {
         |      '([A-Za-z])([0-9])', '\1 \2', 'g'),
         |      '([0-9])([A-Za-z])', '\1 \2', 'g'),
         |      '([a-z])([A-Z])', '\1 \2', 'g'),
-        |      '([^A-Za-z0-9\s])', ' \1', 'g'),
-        |    '\s+'), x -> x <> '')) AS BIGINT) AS n_subwords
+        |      '([^A-Za-z0-9\s\x0B])', ' \1', 'g'),
+        |    '[\s\x0B]+'), x -> x <> '')) AS BIGINT) AS n_subwords
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_quality_signals" ->

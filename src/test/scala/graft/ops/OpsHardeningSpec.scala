@@ -84,7 +84,10 @@ class OpsHardeningSpec extends AnyFunSuite {
       "(space insertion via capture groups) on adversarial strings") {
     import spark.implicits._
     val texts = Seq("NASA API", "camelCase", "A1", "a1b2", "1a1a", "aAa1A",
-      "hello, world!", "x!!y", "...", "mixedUP2case3Xy", "a b\tc")
+      "hello, world!", "x!!y", "...", "mixedUP2case3Xy", "a b\tc",
+      // vertical tab IS whitespace on the Java side; the DuckDB oracle names
+      // \x0B explicitly next to every \s because RE2's \s excludes it
+      "a\u000Bb", "x\u000B\u000B!y")
     val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val viaSplit = TextOps.subwordCounts(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // the oracle's shape: insert a space at every boundary, count tokens
