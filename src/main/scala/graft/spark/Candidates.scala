@@ -48,7 +48,14 @@ object Candidates {
     * (localCheckpoint), after which nothing references these plans. Without
     * the release a long-running incremental chain accumulates one band
     * relation per increment until LRU eviction, with the JVM references
-    * never reclaimed (same discipline as DedupOps.cleanupCaches). */
+    * never reclaimed (same discipline as DedupOps.cleanupCaches).
+    *
+    * CONTRACT: the registry is JVM-global, so pipeline runs must not
+    * overlap — a concurrent run's cleanupCaches would unpersist this run's
+    * frames mid-query (correct results, silent full recomputation). One
+    * pipeline at a time per SparkSession, which is how every entry point
+    * drives it; a multi-tenant session would need a per-run registry
+    * threaded through candidatePairs. */
   private val persistedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
   private def registerPersist(df: DataFrame): DataFrame = {
@@ -79,16 +86,19 @@ object Candidates {
     val B = cfg.simhashBands
     val w = cfg.simhashBandBits
 
-    def slices(c: Column, width: Int, nb: Int, idBase: Int, gate: Column): Seq[Column] =
+    def slices(c: Column, width: Int, nb: Int, idBase: Int): Seq[Column] =
       (0 until nb).map { b =>
         struct(lit(idBase + b).as("band_id"),
-          when(gate,
-            shiftrightunsigned(c, b * width).bitwiseAND(lit((1L << width) - 1))).as("key"))
+          shiftrightunsigned(c, b * width).bitwiseAND(lit((1L << width) - 1)).as("key"))
       }
 
-    val sliceGate = lit(cfg.simhashSliceBands)
-    val headBands = slices(col("simhash_head"), w, B, 0, sliceGate)
-    val tailBands = slices(col("simhash_tail"), w, B, B, sliceGate)
+    // slice structs are omitted from the explode entirely when the family is
+    // off — gating them to null keys still materialized 2B dead rows per rep
+    // through the hottest explode before the isNotNull filter dropped them
+    val (headBands, tailBands) =
+      if (cfg.simhashSliceBands)
+        (slices(col("simhash_head"), w, B, 0), slices(col("simhash_tail"), w, B, B))
+      else (Nil, Nil)
     val mhHead: Seq[Column] = (0 until cfg.minhashBands).map { b =>
       struct(lit(100 + b).as("band_id"), get(col("mh_bands_head"), lit(b)).as("key"))
     }
@@ -124,6 +134,16 @@ object Candidates {
       base.unionByName(sampled)
     }
   }
+
+  /** Band keys per URL (no dictionary encoding) — incremental support:
+    * [[Pipeline.runIncrementalScoped]] derives the keys a STALE rep used to
+    * emit (from the previous generation's checkpointed rep rows) and the
+    * current members of those keys, so a group whose topology links left
+    * with the stale rep (a re-crawled star hub, a demoted rep) regenerates
+    * in full instead of fragmenting. */
+  private[graft] def bandKeysByUrl(reps: DataFrame, cfg: GraftConfig): DataFrame =
+    bands(reps.withColumn("id", col("url")), cfg)
+      .select(col("id").as("url"), col("band_id"), col("key"))
 
   /** Self-join bands into distinct candidate pairs (url_a < url_b), with
     * explicit salted handling of heavy band keys.
@@ -199,7 +219,10 @@ object Candidates {
     // the same rows regardless of partitioning or task order (ids are
     // themselves a pure function of the url set), so the pairs TABLE (not
     // just the clusters) is partition-invariant — SURVEY §5.7.
-    val heavyKeys = {
+    // persisted: the frame feeds two consumers one-shot (light anti-join +
+    // heavy semi-join) and three in delta mode — unpersisted, each action
+    // re-ran the aggregation over the full band relation and re-broadcast it
+    val heavyKeys = registerPersist {
       val frac = cfg.heavyDetectSampleFrac
       if (frac <= 0)
         bnds.groupBy("band_id", "key").count()
@@ -303,12 +326,18 @@ object Candidates {
         // INCREMENTAL delta: only pairs with >= 1 endpoint in `nu` (new or
         // changed reps). The light family becomes a new-side x all-side join
         // — when the increment is small Catalyst broadcasts the new side, so
-        // NO full-corpus shuffle happens at all (the 10^12-doc resume story:
-        // candidate work scales with the increment, not the corpus). Old-old
-        // pairs are excluded by construction; the caller supplies them from
-        // the previous run's persisted pairs table (Pipeline.runIncremental
-        // keeps them — candidate generation over unchanged reps is a pure
-        // function of the rep set, so those rows cannot have changed).
+        // the PAIR JOIN adds no full-corpus shuffle (the 10^12-doc resume
+        // story: candidate-join work scales with the increment). Honest
+        // bound: the dictionary sort, the band-relation build, and heavy
+        // detection above still run over the full rep set each increment —
+        // O(corpus) narrow/map-side work, not O(corpus^2) join work; making
+        // those increment-sized needs the dictionary and band relation
+        // persisted in the store between increments (future work, noted in
+        // BASELINE). Old-old pairs are excluded by construction; the caller
+        // supplies them from the previous run's persisted pairs table
+        // (Pipeline.runIncremental keeps them — candidate generation over
+        // unchanged reps is a pure function of the rep set, so those rows
+        // cannot have changed).
         // Persist + materialize the (increment-sized) id set while
         // sortedUrls is still cached: every later consumer (bndsNew,
         // na/nb) otherwise re-runs the dictionary's full-corpus sort.

@@ -48,13 +48,8 @@ object Fingerprints {
   /** content identity = md5(url + "_" + epochMillis(warc_ts)) — the analog of
     * the reference's md5(filename + "_" + mtime) cache key (db.cpp:22-30):
     * url-stable, content-version-sensitive. */
-  def contentId(url: String, ts: Timestamp): String = {
-    val s = url + "_" + ts.getTime.toString
-    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
-  }
+  def contentId(url: String, ts: Timestamp): String =
+    md5hex(url + "_" + ts.getTime.toString)
 
   /** [[contentId]] as a Catalyst expression — the ONE column-level
     * definition (fromPages and Resume's anti-join both use it; a drift
@@ -123,41 +118,73 @@ object Fingerprints {
     )
   }
 
-  /** Url recency/case dedup — two layered rules, applied in the SAME order
-    * as the cross-increment live view in [[Resume.incrementalFingerprints]]
-    * so the surviving row per url is independent of how a crawl is split
-    * into batches (batch-split invariance, pinned by BatchSplitInvarianceSpec):
+  /** Rule 1 of the url dedup — re-crawl supersedence: per EXACT url, the
+    * newest warc_ts wins (a later capture of the same page replaces the
+    * earlier one). Identical (url, warc_ts) duplicate crawl records (WARC
+    * revisit records, a retried ingest unioned twice) collapse to ONE row,
+    * elected deterministically by content hash — a naive ranking window
+    * over raw rows would put the surviving copy's own (url, warc_ts) key in
+    * the loser set and the anti-join would drop the document entirely.
     *
-    *  1. re-crawl supersedence: per EXACT url, the newest warc_ts wins
-    *     (a later capture of the same page replaces the earlier one);
+    * This is the dedup the INCREMENTAL commit path applies ([[Resume]]):
+    * rule 2 (the case rule) must NOT run before a commit, because a later
+    * batch can add an older case-variant that changes the cross-increment
+    * case election — rule-2 losers are committed and the live view elects
+    * among all of them (batch-split invariance).
+    *
+    * Shuffle discipline: ranking runs over a SLIM aggregate of (url,
+    * warc_ts) keys; only the rare losers flow into an anti-join against the
+    * unshuffled pages, and only rows of the (rarer still) duplicated keys
+    * pass through a payload-ordered collapse window. */
+  def dropRecrawlDuplicateUrls(pages: DataFrame): DataFrame = {
+    val keys = pages.groupBy(col("url"), col("warc_ts"))
+      .agg(count(lit(1)).as("__copies"))
+    val wUrl = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
+    val ranked = keys.withColumn("__rn", row_number().over(wUrl))
+    val losers = ranked.filter(col("__rn") > 1).select("url", "warc_ts")
+    val survivors = pages.join(losers, Seq("url", "warc_ts"), "left_anti")
+
+    val dupKeys = ranked.filter(col("__rn") === 1 && col("__copies") > 1)
+      .select("url", "warc_ts")
+    if (dupKeys.isEmpty) survivors
+    else {
+      // collapse identical-key copies: deterministic winner by content hash
+      // (partition-invariant; byte-identical copies are interchangeable)
+      val affected = survivors.join(dupKeys, Seq("url", "warc_ts"), "left_semi")
+      val clean = survivors.join(dupKeys, Seq("url", "warc_ts"), "left_anti")
+      val contentOrder: Seq[org.apache.spark.sql.Column] = {
+        val cols = Seq("text", "html").filter(pages.columns.contains)
+          .map(c => xxhash64(col(c)))
+        if (cols.nonEmpty) cols else Seq(lit(0L))
+      }
+      val wCopy = Window.partitionBy(col("url"), col("warc_ts"))
+        .orderBy(contentOrder: _*)
+      val collapsed = affected.withColumn("__rc", row_number().over(wCopy))
+        .filter(col("__rc") === 1).drop("__rc")
+      clean.unionByName(collapsed)
+    }
+  }
+
+  /** Full url recency/case dedup — rule 1 ([[dropRecrawlDuplicateUrls]])
+    * then rule 2, in the SAME order as the cross-increment live view in
+    * [[Resume.incrementalFingerprints]] so the surviving row per url is
+    * independent of how a crawl is split into batches (batch-split
+    * invariance, pinned in KernelHardeningSpec):
+    *
     *  2. the reference's case-insensitive distinct — the O(n^2) scan over
     *     `_everyVideo` (mainwindow.cpp:217-225): among the per-url winners,
     *     keep the earliest row per lower(url) (discovery order ->
-    *     warc_ts, url).
-    *
-    * Shuffle discipline: the ranking windows run over a SLIM projection
-    * (url, warc_ts — ~60 bytes/row), not the full page row (html + text,
-    * ~10 KB/row); only the rare losers flow into an anti-join against the
-    * unshuffled pages (AQE turns it into a broadcast join when the loser
-    * set is small, which it virtually always is). */
+    *     warc_ts, url). */
   def dropCaseDuplicateUrls(pages: DataFrame): DataFrame = {
-    val wUrl = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
+    val r1 = dropRecrawlDuplicateUrls(pages)
     val wCase = Window.partitionBy(lower(col("url"))).orderBy(col("warc_ts"), col("url"))
-    // losers are keyed by (url, warc_ts), not url alone: a SAME-url re-crawl
-    // inside one batch shares the winner's url, and a url-only anti-join
-    // would remove the winner along with its loser — dropping the document
-    // entirely instead of keeping one row. (Rows identical in BOTH url and
-    // warc_ts — duplicate crawl records — are an upstream ingest concern;
-    // this rule keeps one row per distinct (url, warc_ts) chain.)
-    val ranked = pages.select(col("url"), col("warc_ts"))
-      .withColumn("__rn", row_number().over(wUrl))
-    val recrawlLosers = ranked.filter(col("__rn") > 1)
-      .select(col("url"), col("warc_ts"))
-    val caseLosers = ranked.filter(col("__rn") === 1)
+    // after rule 1, (url, warc_ts) keys are unique, so the loser anti-join
+    // can never remove a winner
+    val caseLosers = r1.select(col("url"), col("warc_ts"))
       .withColumn("__rc", row_number().over(wCase))
       .filter(col("__rc") > 1)
       .select(col("url"), col("warc_ts"))
-    pages.join(recrawlLosers.union(caseLosers), Seq("url", "warc_ts"), "left_anti")
+    r1.join(caseLosers, Seq("url", "warc_ts"), "left_anti")
   }
 
   /** The fingerprint stage — one narrow select over the native

@@ -179,8 +179,17 @@ object Pairs {
     val newGate = math.max(math.round(64.0 * newThreshold / 100.0).toInt, 44)
     val jacThr = newThreshold / 100.0
 
-    val needVerify = pairs.filter(col("jaccard").isNull && col("sim_bits") >= newGate)
-    val untouched = pairs.filter(col("jaccard").isNotNull || col("sim_bits") < newGate)
+    // substring-matched rows are slider-independent and NEVER re-enter the
+    // verify join: verifyJoin stamps via='exact', and losing the
+    // via='substring' marker would let a later rethreshold un-match a
+    // verbatim-overlap pair (the exact regression rethreshold's own
+    // contract rules out)
+    val isSub =
+      if (pairs.columns.contains("via")) col("via") === "substring" else lit(false)
+    val needVerify = pairs.filter(
+      col("jaccard").isNull && col("sim_bits") >= newGate && !isSub)
+    val untouched = pairs.filter(
+      col("jaccard").isNotNull || col("sim_bits") < newGate || isSub)
 
     val verified = verifyJoin(needVerify, signatures, cfg, jacThr)
     val all = untouched.select(verified.columns.map(col): _*).unionByName(verified)

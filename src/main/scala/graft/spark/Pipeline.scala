@@ -195,7 +195,31 @@ object Pipeline {
         val newUrls = repIdent.except(prevIdent).select("url").persist(persistLevel)
         val staleUrls = prevIdent.except(repIdent).select("url").persist(persistLevel)
 
-        val cand = Candidates.candidatePairs(reps, cfg, Some(newUrls))
+        // stale-key expansion (round-5 review): keptPrev below drops EVERY
+        // previous pair with a stale endpoint, but under star routing those
+        // pairs can BE a heavy group's connective topology (its hub links, a
+        // chain position) — and a stale rep's keys are invisible to the
+        // delta's touched-key detection, which only sees NEW reps' keys. A
+        // re-crawled hub therefore fragmented its cluster vs one-shot. Seed
+        // the delta new-side with the CURRENT members of every key a stale
+        // rep used to emit (derived from the previous generation's
+        // checkpointed rep rows): those groups regenerate their full
+        // topology, and keptPrev's now-duplicate rows are anti-joined away.
+        // Costs one band explode over the current rep set, only on
+        // increments that actually contain stale reps.
+        val seedUrls =
+          if (staleUrls.isEmpty) newUrls
+          else {
+            val staleKeys = Candidates.bandKeysByUrl(
+              st.reps.join(staleUrls, Seq("url"), "left_semi"), cfg)
+              .select("band_id", "key").distinct()
+            val coMembers = Candidates.bandKeysByUrl(reps, cfg)
+              .join(staleKeys, Seq("band_id", "key"), "left_semi")
+              .select("url").distinct()
+            newUrls.unionByName(coMembers).distinct().persist(persistLevel)
+          }
+
+        val cand = Candidates.candidatePairs(reps, cfg, Some(seedUrls))
         val scoredBase = Pairs.score(cand, cfg)
         val scoredVerified =
           if (cfg.exactVerify) Pairs.exactVerify(scoredBase, reps, cfg) else scoredBase
@@ -206,6 +230,12 @@ object Pipeline {
         val keptPrev = st.pairs
           .join(staleUrls.select(col("url").as("url_a")), Seq("url_a"), "left_anti")
           .join(staleUrls.select(col("url").as("url_b")), Seq("url_b"), "left_anti")
+          // the stale-key expansion re-emits full topology for affected
+          // groups; drop the previous generation's rows for any pair delta
+          // recomputed (values are identical — candidate generation and
+          // scoring are pure functions of the rep set — but keeping both
+          // would duplicate pair rows)
+          .join(delta.select("url_a", "url_b"), Seq("url_a", "url_b"), "left_anti")
         val pairs = keptPrev.unionByName(delta.select(keptPrev.columns.map(col): _*))
           .localCheckpoint()
 
@@ -250,6 +280,7 @@ object Pipeline {
         // layer's internals are released here, keeping a long incremental
         // chain's cache footprint O(one increment)
         newUrls.unpersist(false); staleUrls.unpersist(false)
+        if (!(seedUrls eq newUrls)) seedUrls.unpersist(false)
         delta.unpersist(false); members.unpersist(false)
         Candidates.cleanupCaches()
         (res, inc, state)

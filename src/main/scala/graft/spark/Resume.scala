@@ -40,7 +40,13 @@ object Resume {
       cfg: GraftConfig): IncrementalResult = {
     val spark = pages.sparkSession
 
-    val withId = Fingerprints.dropCaseDuplicateUrls(pages)
+    // Rule 1 ONLY before the commit (per-url newest + duplicate-record
+    // collapse): case-variant (rule 2) losers MUST be fingerprinted and
+    // committed, because a later batch can add an OLDER variant that
+    // changes the cross-increment case election — dropping them here made
+    // the surviving variant depend on batch boundaries (round-5 review).
+    // The live view below applies the case rule across everything committed.
+    val withId = Fingerprints.dropRecrawlDuplicateUrls(pages)
       .withColumn("content_id", contentIdCol)
     val total = withId.count()
     val firstRun = store.isEmpty
@@ -56,8 +62,9 @@ object Resume {
 
     // default-mode commits drop the dead-weight shingle/sample arrays —
     // config_fp keys the store, so each config's snapshots stay schema-stable.
-    // PreDeduped entry: withId already ran the case-dedup window; the plain
-    // fromPages would re-run it inside the commit job.
+    // PreDeduped entry: withId already ran the rule-1 recrawl dedup (and the
+    // case rule must NOT run pre-commit); the plain fromPages would apply
+    // the full two-rule window inside the commit job.
     val newSigs = Fingerprints.pruneForMode(
       Fingerprints.fromPagesPreDeduped(todo.drop("content_id"), cfg).toDF(), cfg)
     val newCount =
@@ -70,11 +77,12 @@ object Resume {
     // per url (newest warc_ts wins) — a re-crawled url gets a fresh
     // content_id and is appended, so without the dedup the old capture would
     // stay live alongside it and clustering would elect keepers among
-    // phantom duplicates of the same url. A SECOND dedup layer applies the
-    // one-shot case rule (F1: earliest warc_ts, then url, per lower(url))
-    // ACROSS increments: a case-variant twin committed in a later batch sees
-    // no in-batch conflict, so without this layer it would stay live
-    // alongside its earlier parent — a row one-shot semantics never admit.
+    // phantom duplicates of the same url. The case rule (F1: earliest
+    // warc_ts, then url, per lower(url)) runs HERE and ONLY here for the
+    // incremental path — across every committed variant, whatever batch it
+    // arrived in. Running it per batch before the commit would permanently
+    // discard a variant a later batch's OLDER twin needs to lose against,
+    // making the elected variant batch-boundary-dependent.
     // The live view also honors cfg.langFilter (S2): the scan filter applies
     // to the batch before fingerprinting, and rows committed by an
     // unfiltered earlier config are config-compatible (langFilter is not

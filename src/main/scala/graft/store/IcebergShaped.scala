@@ -238,13 +238,20 @@ object IcebergShaped {
       val dataRoot = Paths.get(root, "data")
       if (!Files.exists(dataRoot) || !Files.exists(metaDir)) return Nil
       import scala.jdk.CollectionConverters._
+      // compare by snap-* DIRECTORY NAME, never by raw path string: manifest
+      // paths are recorded with whatever root spelling committed them, and a
+      // GC run opening the same table via './store', an absolute path, or a
+      // different cwd would see zero string matches and delete every LIVE
+      // snapshot (round-5 review). Names are unique per table (timestamped
+      // at commit), so name identity is exact.
       val referenced: Set[String] = {
         val ms = Files.list(metaDir)
         try ms.iterator().asScala
           .filter(_.getFileName.toString.matches("v\\d+\\.json"))
           .flatMap { m =>
             Serialization.read[Snapshot](Files.readString(m)).files
-              .map(f => Paths.get(f.path).getParent.toString)
+              .flatMap(f => Paths.get(f.path).iterator().asScala
+                .map(_.toString).find(_.startsWith("snap-")))
           }.toSet
         finally ms.close()
       }
@@ -252,7 +259,7 @@ object IcebergShaped {
       val orphans =
         try ds.iterator().asScala
           .filter(p => p.getFileName.toString.startsWith("snap-"))
-          .filter(p => !referenced.contains(p.toString))
+          .filter(p => !referenced.contains(p.getFileName.toString))
           .map(_.toString).toList
         finally ds.close()
       orphans.foreach { dir =>

@@ -21,13 +21,17 @@ class ResumeSpec extends AnyFunSuite {
     val half = CorpusSpark.pages(spark, 400L, 4, cfg.seed)
     val full = CorpusSpark.pages(spark, 800L, 4, cfg.seed)
 
+    // the commit path applies rule 1 only (per-url newest); case-variant
+    // twins ARE fingerprinted and committed — the live view elects among
+    // them across increments (batch-split invariance) — so the counts cover
+    // every distinct url, twins included
     val r1 = Resume.incrementalFingerprints(half, store, cfg)
-    assert(r1.newlyFingerprinted === 400L - caseDups(400L))
+    assert(r1.newlyFingerprinted === 400L)
     assert(r1.skipped === 0L)
 
     val r2 = Resume.incrementalFingerprints(full, store, cfg)
     assert(r2.skipped === r1.newlyFingerprinted)
-    assert(r2.newlyFingerprinted + r2.skipped === 800L - caseDups(800L))
+    assert(r2.newlyFingerprinted + r2.skipped === 800L)
 
     // equivalence with one-shot fingerprints
     val oneShot = Fingerprints.fromPages(full, cfg).toDF()
@@ -150,7 +154,4 @@ class ResumeSpec extends AnyFunSuite {
     assert(live === Seq("https://l/de"), "en store row must not be live under --langs de")
   }
 
-  /** Case-variant url duplicates dropped by F1 in [0, n). */
-  private def caseDups(n: Long): Long =
-    (0L until n).count(i => graft.data.Corpus.kindOf(i).isInstanceOf[graft.data.Corpus.CaseUrlDup])
 }

@@ -88,6 +88,69 @@ class IncrementalScopedSpec extends AnyFunSuite {
       col("url_b") === victim && col("matched")).isEmpty)
   }
 
+  test("re-crawled star hub of a heavy band group: scoped clusters equal " +
+      "one-shot (stale-key expansion regenerates the lost topology)") {
+    import spark.implicits._
+    import graft.data.Render
+    // force exact heavy detection + a low cap so the 12-member boilerplate
+    // skew family (g=0 rows 0..5, g=37 rows) routes through the star path
+    val cfg2 = cfg.copy(heavyBandKeyCap = 5, heavyDetectSampleFrac = -1.0)
+    val store = tmpStore()
+    val base = CorpusSpark.pages(spark, 600L, 4, cfg2.seed)
+    val (_, _, st1) = Pipeline.runIncrementalScoped(base, store, None, cfg2)
+
+    // re-crawl the skew family's min-url member — the star HUB of its heavy
+    // band keys — with unrelated content: every hub link and the hub's path
+    // position leave with it, and its old keys are invisible to new-rep
+    // touched-key detection (the fragmentation scenario)
+    val victim = "https://example.org/s00/doc0000000000"
+    val newText = (0 until 400).map(i => f"freshhub$i%05d").mkString(" ")
+    val recrawled = base.filter(col("url") === victim)
+      .withColumn("warc_ts",
+        timestamp_millis(unix_millis(col("warc_ts")) + lit(86400000L)))
+      .withColumn("html", lit(Render.html(newText, 3L)))
+      .withColumn("text", lit(newText))
+    val current = base.filter(col("url") =!= victim).unionByName(recrawled)
+
+    val (r2, _, _) = Pipeline.runIncrementalScoped(current, store, Some(st1), cfg2)
+    val oneShot = Pipeline.run(current, cfg2)
+    assert(clusterRows(r2.clusters) === clusterRows(oneShot.clusters),
+      "heavy group fragmented after losing its hub")
+  }
+
+  test("stale-key expansion mechanism: an unseeded heavy group emits NO " +
+      "delta pairs (the fragmentation hazard), a fully-seeded one " +
+      "regenerates a connected topology") {
+    import spark.implicits._
+    // identical fingerprints: every band key is one heavy group, so the
+    // PAIR TABLE IS the topology — no redundant light edges to mask a loss
+    // (the realistic-corpus test above has such redundancy; this one pins
+    // the mechanism itself)
+    val cfg2 = GraftConfig(heavyBandKeyCap = 50, heavyDetectSampleFrac = -1.0)
+    val all = SparkTest.giantBandGroupReps(600, cfg2)
+    // the aftermath of a re-crawled hub: u00000's fingerprint left the group
+    val remaining = all.filter(col("url") =!= "u00000")
+
+    // broken shape (pre-fix Pipeline): the delta new-side contains only the
+    // re-crawled url, whose new keys don't touch the group -> zero delta
+    // pairs for it, and keptPrev lost every hub link
+    val unseeded = Candidates.candidatePairs(remaining, cfg2,
+      Some(Seq.empty[String].toDF("url")))
+    assert(unseeded.isEmpty, "unseeded heavy group must emit no delta pairs")
+
+    // fixed shape: Pipeline seeds ALL current members of the stale rep's
+    // keys -> the full star/path topology regenerates and reconnects them
+    val seeded = Candidates.candidatePairs(remaining, cfg2,
+      Some(remaining.select("url")))
+      .select("url_a", "url_b").as[(String, String)].collect()
+    val uf = new graft.core.UnionFind[String]
+    seeded.foreach { case (a, b) => uf.union(a, b)(graft.core.Utf8Ordering) }
+    val comps = uf.components((1 until 600).map(i => f"u$i%05d"))(graft.core.Utf8Ordering)
+      .values.toSet
+    assert(comps.size === 1,
+      s"seeded regeneration left ${comps.size} components")
+  }
+
   test("increment chain releases the previous generation's corpus-sized " +
       "caches (IncState.retained): footprint stays O(one increment)") {
     import org.apache.spark.storage.StorageLevel
@@ -126,6 +189,24 @@ class IncrementalScopedSpec extends AnyFunSuite {
 class StoreGcQuerySpec extends AnyFunSuite {
   private lazy val spark = SparkTest.spark
 
+  test("gcOrphans opened via a differently-spelled root never deletes live " +
+      "snapshots (name identity, not raw path-string comparison)") {
+    val spark = SparkTest.spark
+    val abs = Files.createTempDirectory("graft-gc-spell")
+    val store = IcebergShaped.table(abs.toString)
+    val cfg = GraftConfig()
+    Resume.incrementalFingerprints(
+      CorpusSpark.pages(spark, 50L, 2, cfg.seed), store, cfg)
+    val liveRows = store.read(spark).count()
+    assert(liveRows > 0)
+    // same table, different spelling: trailing slash + a ./.. detour
+    val respelled = IcebergShaped.table(
+      abs.toString + "/../" + abs.getFileName.toString + "/")
+    val removed = respelled.gcOrphans()
+    assert(removed.isEmpty, s"live snapshots deleted: $removed")
+    assert(store.read(spark).count() === liveRows)
+  }
+
   test("q_store_gc leaves exactly the manifest-referenced dirs") {
     val rows = graft.SparkEntry.queries("q_store_gc")(spark, "gcspec")
       .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
@@ -159,6 +240,52 @@ class KernelHardeningSpec extends AnyFunSuite {
       ("https://a/x", "new"),
       ("https://b/y", "only"),
       ("HTTPS://C/Z", "early-upper")))
+  }
+
+  test("identical (url, warc_ts) duplicate crawl records collapse to ONE " +
+    "row — not zero (the loser anti-join must never remove the winner)") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://d/w", Timestamp.valueOf("2026-01-01 00:00:00"), "copy"),
+      ("https://d/w", Timestamp.valueOf("2026-01-01 00:00:00"), "copy"),
+      ("https://e/v", Timestamp.valueOf("2026-01-01 00:00:00"), "single")
+    ).toDF("url", "warc_ts", "text")
+    val kept = Fingerprints.dropCaseDuplicateUrls(pages)
+      .select("url", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(kept.toSet === Set(("https://d/w", "copy"), ("https://e/v", "single")))
+    assert(kept.length === 2, "duplicate record must collapse to exactly one row")
+  }
+
+  test("out-of-order case variants across increments: live view equals " +
+    "one-shot (rule-2 losers must be committed, not dropped per batch)") {
+    import spark.implicits._
+    import graft.data.Render
+    def page(url: String, ts: String, text: String) =
+      (url, Timestamp.valueOf(ts), Render.html(text, 1L), text, "en")
+    val cols = Seq("url", "warc_ts", "html", "text", "lang")
+    // A@t5 and a@t9 in batch 1; the OLDER variant a@t1 arrives in batch 2.
+    // One-shot: rule 1 keeps A@t5 + a@t9; rule 2 elects A@t5 (earliest).
+    // A per-batch case rule would discard a@t9 before commit and then
+    // wrongly elect a@t1.
+    val b1 = Seq(
+      page("HTTPS://X/P", "2026-01-05 00:00:00", "variant upper five"),
+      page("https://x/p", "2026-01-09 00:00:00", "variant lower nine")).toDF(cols: _*)
+    val b2 = Seq(
+      page("https://x/p", "2026-01-01 00:00:00", "variant lower one")).toDF(cols: _*)
+    val cfg = graft.core.GraftConfig()
+
+    val oneShot = Fingerprints.fromPages(b1.unionByName(b2), cfg)
+      .select(col("url"), unix_millis(col("warc_ts")))
+      .as[(String, Long)].collect().toSet
+
+    val store = IcebergShaped.table(
+      Files.createTempDirectory("graft-caseinv").toString)
+    Resume.incrementalFingerprints(b1, store, cfg)
+    val live = Resume.incrementalFingerprints(b2, store, cfg).signatures
+      .select(col("url"), unix_millis(col("warc_ts")))
+      .as[(String, Long)].collect().toSet
+    assert(live === oneShot,
+      s"case election diverged: live=$live oneShot=$oneShot")
   }
 
   test("batch-split invariance: a same-url re-crawl yields the same " +

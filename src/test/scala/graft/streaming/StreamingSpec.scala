@@ -34,12 +34,19 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = StreamingIngest.ingestToStore(source.toDF(), store, cfg, ckpt)
     q2.awaitTermination()
     val sigs = store.read(spark)
-    // one signature per distinct surviving url over [0, 200)
-    val expected = graft.tools.OracleTruth.compute(200, cfg)
+    // the RAW store holds one row per distinct exact url — case-variant
+    // twins included (the commit path applies rule 1 only; the live view
+    // elects the case winner at read time)
     val urls = sigs.select("url").as[String].collect().toSet
-    assert(urls === (expected.validUrls.toSet ++ expected.rejectedUrls.toSet))
+    assert(urls === (0L until 200L).map(Corpus.urlOf).toSet)
     assert(sigs.groupBy("url").count().filter(col("count") > 1).count() === 0,
       "replayed rows must not duplicate")
+    // and the LIVE view equals the one-shot F1 universe
+    val expected = graft.tools.OracleTruth.compute(200, cfg)
+    val live = graft.spark.Resume.incrementalFingerprints(
+      source.toDF().sparkSession.emptyDataset[PageRow].toDF(), store, cfg).signatures
+    assert(live.select("url").as[String].collect().toSet ===
+      (expected.validUrls.toSet ++ expected.rejectedUrls.toSet))
   }
 
   test("stateless streaming fingerprint plan is streaming-compatible") {
