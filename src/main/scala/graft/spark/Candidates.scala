@@ -238,6 +238,11 @@ object Candidates {
           .select("band_id", "key")
       }
     }
+    // materialize BEFORE the concurrent consumers, same discipline as
+    // bnds.count() above: AQE runs the anti/semi join stages as concurrent
+    // jobs, and a concurrent first touch of the unpopulated cache would make
+    // each re-run the aggregation — the cost the persist exists to remove
+    heavyKeys.count()
 
     val light = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
 

@@ -135,7 +135,21 @@ object Fingerprints {
     * Shuffle discipline: ranking runs over a SLIM aggregate of (url,
     * warc_ts) keys; only the rare losers flow into an anti-join against the
     * unshuffled pages, and only rows of the (rarer still) duplicated keys
-    * pass through a payload-ordered collapse window. */
+    * pass through a payload-ordered collapse window. The whole plan is LAZY
+    * (no driver action at construction — pairStage's no-job contract): when
+    * no key is duplicated, dupKeys resolves empty at execution and the
+    * semi/anti/window branch is a no-op.
+    *
+    * Ingest contract: copies that share (url, warc_ts) but differ in content
+    * are ill-formed input (one crawl key names one capture). They still
+    * collapse deterministically — the election hashes EVERY non-key column,
+    * so any column difference (lang, text, html) yields a total order and
+    * the same winner under every partitioning; only byte-identical rows tie,
+    * and those are interchangeable. Across batches, however, the first
+    * committed copy wins (content_id keys on (url, warc_ts) only), so the
+    * surviving CONTENT of an ill-formed same-key pair split across batches
+    * is arrival-ordered — the one dedup decision that cannot be batch-split
+    * invariant without re-reading committed payloads. */
   def dropRecrawlDuplicateUrls(pages: DataFrame): DataFrame = {
     val keys = pages.groupBy(col("url"), col("warc_ts"))
       .agg(count(lit(1)).as("__copies"))
@@ -146,23 +160,20 @@ object Fingerprints {
 
     val dupKeys = ranked.filter(col("__rn") === 1 && col("__copies") > 1)
       .select("url", "warc_ts")
-    if (dupKeys.isEmpty) survivors
-    else {
-      // collapse identical-key copies: deterministic winner by content hash
-      // (partition-invariant; byte-identical copies are interchangeable)
-      val affected = survivors.join(dupKeys, Seq("url", "warc_ts"), "left_semi")
-      val clean = survivors.join(dupKeys, Seq("url", "warc_ts"), "left_anti")
-      val contentOrder: Seq[org.apache.spark.sql.Column] = {
-        val cols = Seq("text", "html").filter(pages.columns.contains)
-          .map(c => xxhash64(col(c)))
-        if (cols.nonEmpty) cols else Seq(lit(0L))
-      }
-      val wCopy = Window.partitionBy(col("url"), col("warc_ts"))
-        .orderBy(contentOrder: _*)
-      val collapsed = affected.withColumn("__rc", row_number().over(wCopy))
-        .filter(col("__rc") === 1).drop("__rc")
-      clean.unionByName(collapsed)
+    // collapse identical-key copies: deterministic winner by whole-row hash
+    val affected = survivors.join(dupKeys, Seq("url", "warc_ts"), "left_semi")
+    val clean = survivors.join(dupKeys, Seq("url", "warc_ts"), "left_anti")
+    val contentOrder: Seq[org.apache.spark.sql.Column] = {
+      val cols = pages.columns.toSeq
+        .filter(c => c != "url" && c != "warc_ts")
+        .map(c => xxhash64(col(c)))
+      if (cols.nonEmpty) cols else Seq(lit(0L))
     }
+    val wCopy = Window.partitionBy(col("url"), col("warc_ts"))
+      .orderBy(contentOrder: _*)
+    val collapsed = affected.withColumn("__rc", row_number().over(wCopy))
+      .filter(col("__rc") === 1).drop("__rc")
+    clean.unionByName(collapsed)
   }
 
   /** Full url recency/case dedup — rule 1 ([[dropRecrawlDuplicateUrls]])

@@ -184,8 +184,13 @@ object Pairs {
     // via='substring' marker would let a later rethreshold un-match a
     // verbatim-overlap pair (the exact regression rethreshold's own
     // contract rules out)
+    // coalesce: a null via (mixed-schema store read) must land a row in
+    // exactly one branch — a bare three-valued `via === "substring"` would
+    // evaluate null in BOTH filters and silently drop the row
     val isSub =
-      if (pairs.columns.contains("via")) col("via") === "substring" else lit(false)
+      if (pairs.columns.contains("via"))
+        coalesce(col("via") === "substring", lit(false))
+      else lit(false)
     val needVerify = pairs.filter(
       col("jaccard").isNull && col("sim_bits") >= newGate && !isSub)
     val untouched = pairs.filter(

@@ -230,13 +230,18 @@ object Pipeline {
         val keptPrev = st.pairs
           .join(staleUrls.select(col("url").as("url_a")), Seq("url_a"), "left_anti")
           .join(staleUrls.select(col("url").as("url_b")), Seq("url_b"), "left_anti")
-          // the stale-key expansion re-emits full topology for affected
-          // groups; drop the previous generation's rows for any pair delta
-          // recomputed (values are identical — candidate generation and
-          // scoring are pure functions of the rep set — but keeping both
-          // would duplicate pair rows)
-          .join(delta.select("url_a", "url_b"), Seq("url_a", "url_b"), "left_anti")
-        val pairs = keptPrev.unionByName(delta.select(keptPrev.columns.map(col): _*))
+        // the stale-key expansion re-emits topology for affected groups, so
+        // delta can recompute pairs keptPrev already holds; dedup keeps the
+        // PREVIOUS generation's row. Both endpoints of a keptPrev pair are
+        // unchanged reps, so the decision columns are a pure function of the
+        // same two signatures — identical when delta is fully informed — but
+        // the OLD row is the better-informed one when this increment's
+        // `pages` batch lacks an old url's text (the warned batch-only
+        // shape): a delta recompute there would downgrade a previously
+        // substring-matched pair to overlap_len=null / matched=false.
+        val deltaNew = delta.select(keptPrev.columns.map(col): _*)
+          .join(keptPrev.select("url_a", "url_b"), Seq("url_a", "url_b"), "left_anti")
+        val pairs = keptPrev.unionByName(deltaNew)
           .localCheckpoint()
 
         val splice = Clusters.spliceAssign(reps.select("url"), st.repAssign,

@@ -242,16 +242,20 @@ object IcebergShaped {
       // paths are recorded with whatever root spelling committed them, and a
       // GC run opening the same table via './store', an absolute path, or a
       // different cwd would see zero string matches and delete every LIVE
-      // snapshot (round-5 review). Names are unique per table (timestamped
-      // at commit), so name identity is exact.
+      // snapshot (round-5 review). Names are unique per table (snapshotId =
+      // XXH64(root#version), stamped at commit), so name identity is exact.
+      // The snap dir is the PARENT of each file entry (every entry is
+      // <snapDir>/part_id=N) — never "the first snap- segment in the path",
+      // which a table root like /backups/snap-archive/store would poison,
+      // marking every real snapshot unreferenced.
       val referenced: Set[String] = {
         val ms = Files.list(metaDir)
         try ms.iterator().asScala
           .filter(_.getFileName.toString.matches("v\\d+\\.json"))
           .flatMap { m =>
             Serialization.read[Snapshot](Files.readString(m)).files
-              .flatMap(f => Paths.get(f.path).iterator().asScala
-                .map(_.toString).find(_.startsWith("snap-")))
+              .flatMap(f => Option(Paths.get(f.path).getParent)
+                .map(_.getFileName.toString).filter(_.startsWith("snap-")))
           }.toSet
         finally ms.close()
       }
