@@ -135,10 +135,10 @@ object Fingerprints {
     * Shuffle discipline: ranking runs over a SLIM aggregate of (url,
     * warc_ts) keys; only the rare losers flow into an anti-join against the
     * unshuffled pages, and only rows of the (rarer still) duplicated keys
-    * pass through a payload-ordered collapse window. The whole plan is LAZY
+    * pass through a payload collapse aggregate. The whole plan is LAZY
     * (no driver action at construction — pairStage's no-job contract): when
     * no key is duplicated, dupKeys resolves empty at execution and the
-    * semi/anti/window branch is a no-op.
+    * collapse branch is a no-op.
     *
     * Ingest contract: copies that share (url, warc_ts) but differ in content
     * are ill-formed input (one crawl key names one capture). They still
@@ -150,30 +150,64 @@ object Fingerprints {
     * surviving CONTENT of an ill-formed same-key pair split across batches
     * is arrival-ordered — the one dedup decision that cannot be batch-split
     * invariant without re-reading committed payloads. */
-  def dropRecrawlDuplicateUrls(pages: DataFrame): DataFrame = {
+  def dropRecrawlDuplicateUrls(pages: DataFrame): DataFrame =
+    urlDedup(pages, caseRule = false)
+
+  /** Shared body of the two url-dedup entry points. Plan discipline (the
+    * round-5 perf regression root cause, see BENCH/BASELINE.md): EVERY
+    * election decision — recency rank, case rank, duplicate-key detection —
+    * is computed once in a slim (url, warc_ts) key space; the full-payload
+    * `pages` relation is consumed by exactly two single-pass branches (the
+    * chained anti-joins and the rare-key collapse aggregate), never by a
+    * payload window and never re-derived per consumer. A previous cut let
+    * rule 2 re-consume the rule-1 output twice, tripling full-payload cache
+    * reads of a ~10 KB/row relation on a bandwidth-bound box. */
+  private def urlDedup(pages: DataFrame, caseRule: Boolean): DataFrame = {
+    val dataCols = pages.columns.toSeq.filter(c => c != "url" && c != "warc_ts")
     val keys = pages.groupBy(col("url"), col("warc_ts"))
       .agg(count(lit(1)).as("__copies"))
     val wUrl = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
     val ranked = keys.withColumn("__rn", row_number().over(wUrl))
-    val losers = ranked.filter(col("__rn") > 1).select("url", "warc_ts")
-    val survivors = pages.join(losers, Seq("url", "warc_ts"), "left_anti")
+    val winners = ranked.filter(col("__rn") === 1)
+    val recrawlLosers = ranked.filter(col("__rn") > 1).select("url", "warc_ts")
+    // rule 2 runs among the per-url winner KEYS — after rule-1 collapse every
+    // url holds exactly the (url, max warc_ts) key, so the slim winner set IS
+    // the rule-1 output's key set and the case election never needs to touch
+    // (or re-derive) the payload relation
+    val losers =
+      if (!caseRule) recrawlLosers
+      else {
+        val wCase = Window.partitionBy(lower(col("url")))
+          .orderBy(col("warc_ts"), col("url"))
+        val caseLosers = winners.withColumn("__rc", row_number().over(wCase))
+          .filter(col("__rc") > 1).select("url", "warc_ts")
+        recrawlLosers.union(caseLosers)
+      }
+    val dupKeys = winners.filter(col("__copies") > 1).select("url", "warc_ts")
 
-    val dupKeys = ranked.filter(col("__rn") === 1 && col("__copies") > 1)
-      .select("url", "warc_ts")
-    // collapse identical-key copies: deterministic winner by whole-row hash
-    val affected = survivors.join(dupKeys, Seq("url", "warc_ts"), "left_semi")
-    val clean = survivors.join(dupKeys, Seq("url", "warc_ts"), "left_anti")
-    val contentOrder: Seq[org.apache.spark.sql.Column] = {
-      val cols = pages.columns.toSeq
-        .filter(c => c != "url" && c != "warc_ts")
-        .map(c => xxhash64(col(c)))
-      if (cols.nonEmpty) cols else Seq(lit(0L))
+    // payload pass 1: both anti-joins chain inside one scan stage (loser and
+    // dup-key sets are rare → AQE broadcasts them)
+    val clean = pages.join(losers, Seq("url", "warc_ts"), "left_anti")
+      .join(dupKeys, Seq("url", "warc_ts"), "left_anti")
+    // payload pass 2 (empty in well-formed input): collapse identical-key
+    // copies to ONE row via an aggregate — the winner is the lexicographic
+    // minimum over (xxhash64 of every non-key column, then the columns
+    // themselves), so the survivor is a pure function of the data under any
+    // partitioning, hash-collision ties included; byte-identical copies
+    // compare equal and min() keeps exactly one
+    val packedFields = {
+      val fs = dataCols.zipWithIndex.map { case (c, i) => xxhash64(col(c)).as(s"__h$i") } ++
+        dataCols.map(c => col(c).as(c))
+      if (fs.isEmpty) Seq(lit(0L).as("__h0")) else fs
     }
-    val wCopy = Window.partitionBy(col("url"), col("warc_ts"))
-      .orderBy(contentOrder: _*)
-    val collapsed = affected.withColumn("__rc", row_number().over(wCopy))
-      .filter(col("__rc") === 1).drop("__rc")
-    clean.unionByName(collapsed)
+    val packed = struct(packedFields: _*)
+    val collapsed = pages.join(losers, Seq("url", "warc_ts"), "left_anti")
+      .join(dupKeys, Seq("url", "warc_ts"), "left_semi")
+      .groupBy(col("url"), col("warc_ts"))
+      .agg(min(packed).as("__w"))
+      .select(col("url") +: col("warc_ts") +:
+        dataCols.map(c => col("__w").getField(c).as(c)): _*)
+    clean.unionByName(collapsed.select(pages.columns.map(col): _*))
   }
 
   /** Full url recency/case dedup — rule 1 ([[dropRecrawlDuplicateUrls]])
@@ -186,17 +220,8 @@ object Fingerprints {
     *     `_everyVideo` (mainwindow.cpp:217-225): among the per-url winners,
     *     keep the earliest row per lower(url) (discovery order ->
     *     warc_ts, url). */
-  def dropCaseDuplicateUrls(pages: DataFrame): DataFrame = {
-    val r1 = dropRecrawlDuplicateUrls(pages)
-    val wCase = Window.partitionBy(lower(col("url"))).orderBy(col("warc_ts"), col("url"))
-    // after rule 1, (url, warc_ts) keys are unique, so the loser anti-join
-    // can never remove a winner
-    val caseLosers = r1.select(col("url"), col("warc_ts"))
-      .withColumn("__rc", row_number().over(wCase))
-      .filter(col("__rc") > 1)
-      .select(col("url"), col("warc_ts"))
-    r1.join(caseLosers, Seq("url", "warc_ts"), "left_anti")
-  }
+  def dropCaseDuplicateUrls(pages: DataFrame): DataFrame =
+    urlDedup(pages, caseRule = true)
 
   /** The fingerprint stage — one narrow select over the native
     * [[graft.functions.PageFingerprint]] expression (whole-stage codegen, no
