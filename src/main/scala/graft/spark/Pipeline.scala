@@ -186,11 +186,23 @@ object Pipeline {
         // (live sigs + reps): the state hand-off is all checkpoint leaves,
         // so nothing in this increment reads them — see IncState.retained
         st.retained.foreach(_.unpersist(false))
+        // Lineage truncation at branch ENTRY, not just at hand-off: this
+        // branch runs ~a dozen eager actions (excepts, isEmpty, delta
+        // persists, splice rounds, metric aggregates) and each one would
+        // re-ANALYZE the full reps lineage (sigs = store-read ∪ fingerprint
+        // expression over the page source) — measured as the wall time of a
+        // 2k-doc increment being ~3x driver-side planning, ~1/4 execution.
+        // The one-shot path pays that analysis once (downstream truncates at
+        // the pairs boundary); here the same truncation happens up front.
+        // No extra storage vs before — the state hand-off already
+        // checkpointed reps at exit; this is the same checkpoint, earlier,
+        // reused for both the increment's work and the outgoing state.
+        val repsCk = reps.localCheckpoint()
         // new/changed vs stale reps by (url, content_id): a re-crawled url
         // (new warc_ts -> new content_id) is BOTH stale (old pairs invalid)
         // and new (delta candidates regenerate them); a demoted rep (its
         // text group gained a smaller url) is stale only.
-        val repIdent = reps.select(col("url"), col("content_id"))
+        val repIdent = repsCk.select(col("url"), col("content_id"))
         val prevIdent = st.reps.select(col("url"), col("content_id"))
         val newUrls = repIdent.except(prevIdent).select("url").persist(persistLevel)
         val staleUrls = prevIdent.except(repIdent).select("url").persist(persistLevel)
@@ -213,16 +225,16 @@ object Pipeline {
             val staleKeys = Candidates.bandKeysByUrl(
               st.reps.join(staleUrls, Seq("url"), "left_semi"), cfg)
               .select("band_id", "key").distinct()
-            val coMembers = Candidates.bandKeysByUrl(reps, cfg)
+            val coMembers = Candidates.bandKeysByUrl(repsCk, cfg)
               .join(staleKeys, Seq("band_id", "key"), "left_semi")
               .select("url").distinct()
             newUrls.unionByName(coMembers).distinct().persist(persistLevel)
           }
 
-        val cand = Candidates.candidatePairs(reps, cfg, Some(seedUrls))
+        val cand = Candidates.candidatePairs(repsCk, cfg, Some(seedUrls))
         val scoredBase = Pairs.score(cand, cfg)
         val scoredVerified =
-          if (cfg.exactVerify) Pairs.exactVerify(scoredBase, reps, cfg) else scoredBase
+          if (cfg.exactVerify) Pairs.exactVerify(scoredBase, repsCk, cfg) else scoredBase
         val delta =
           (if (cfg.substringPass) Pairs.substringPass(scoredVerified, pages, cfg)
            else scoredVerified).drop("id_a", "id_b").persist(persistLevel)
@@ -244,7 +256,7 @@ object Pipeline {
         val pairs = keptPrev.unionByName(deltaNew)
           .localCheckpoint()
 
-        val splice = Clusters.spliceAssign(reps.select("url"), st.repAssign,
+        val splice = Clusters.spliceAssign(repsCk.select("url"), st.repAssign,
           st.pairs.filter(col("matched")), delta.filter(col("matched")), staleUrls)
         val repAssign = splice.assign.localCheckpoint()
         val memberClusters = members
@@ -263,7 +275,7 @@ object Pipeline {
             count(lit(1)).as("signatures"),
             coalesce(sum(when(col("reject_reason").isNotNull, 1L)), lit(0L)).as("rejected"),
             coalesce(sum(when(!col("extract_ok"), 1L)), lit(0L)).as("extract_mismatches")))
-            .unionByName(kvMetrics(reps.agg(count(lit(1)).as("exact_groups"))))
+            .unionByName(kvMetrics(repsCk.agg(count(lit(1)).as("exact_groups"))))
             .unionByName(kvMetrics(pairs.agg(
               count(lit(1)).as("candidate_pairs"),
               coalesce(sum(when(col("matched"), 1L)), lit(0L)).as("matched_pairs"))))
@@ -276,7 +288,7 @@ object Pipeline {
               ("untouched_clusters", splice.untouchedClusters)).toDF("metric", "value"))
 
         val res = Result(sigs, rejects, pairs, clusters, metrics)
-        val state = IncState(reps.localCheckpoint(), pairs, repAssign,
+        val state = IncState(repsCk, pairs, repAssign,
           retained = Seq(sigs, reps))
         // every returned frame is a checkpoint leaf (pairs, repAssign,
         // clusters, state.reps) or persisted in its own right (sigs, reps —
