@@ -192,6 +192,14 @@ object Bench {
       samples = samples :+ (sec, m)
       cpuSamples = cpuSamples :+ cpuSec
       runSamples = runSamples :+ runSec
+      // UNTIMED between-rep cleanup: clearCache() drops InMemoryRelations
+      // but NOT the pipeline's localCheckpoint RDD blocks — those are freed
+      // by the ContextCleaner only after the driver GCs the dropped Result;
+      // left to chance, each rep's checkpoint blocks (pairs/clusters + the
+      // union-find rounds) stay resident into the next rep and later reps
+      // run under growing memory pressure. Nudge the cleaner now, outside
+      // the timed window.
+      System.gc()
       rep += 1
     }
     // headline time and matched count come from the SAME (best) rep; the
