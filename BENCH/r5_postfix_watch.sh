@@ -6,9 +6,10 @@
 #   (1) re-record the sf0.1 full 60k headline (Bench refuses to clobber a
 #       faster record, so a merely-okay window can't hurt BENCH_LOCAL.json);
 #   (2) once per watch, if the 2c/8c machine control is balanced (within
-#       10%), fire ONE 60k-doc 2v8 steady-state pair — the post-fix
-#       confirmation that the slim-key rewrite did not change the scaling
-#       posture measured by pair #8 (sustained 0.841 at 600k).
+#       10%), fire ONE 600k-doc 2v8 steady-state pair — the post-fix
+#       confirmation AT GATE SCALE that the slim-key rewrite did not change
+#       the scaling posture measured by pair #8 (sustained 0.841 at 600k;
+#       pair #9 already confirmed the posture at 60k, task-CPU 0.883).
 # Keeps hunting headline windows after the pair until the deadline.
 set -u
 cd "$(dirname "$0")/.."
@@ -69,8 +70,8 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
       C2=$(ctl 2 0); C8=$(ctl 8 16)
       echo "[postfix] controls 2c=$C2 8c=$C8" >> "$LOG"
       if python3 -c "exit(0 if $C8/$C2 >= 0.90 and $C8 >= $QUIET else 1)"; then
-        echo "=== firing post-fix 60k pair $(date +%T) ===" >> "$LOG"
-        ./BENCH/r5_pair28_60k.sh
+        echo "=== firing post-fix 600k pair $(date +%T) ===" >> "$LOG"
+        ./BENCH/r5_pair28_600k.sh
         PAIRED=1
         echo "=== pair done $(date +%T) ===" >> "$LOG"
       fi
