@@ -134,10 +134,28 @@ object Bench {
     val errors = scala.collection.mutable.Map.empty[String, String]
     val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val capped = scala.collection.mutable.ArrayBuffer.empty[String]
+    // workers that outlived the cancel grace window: their leftover tasks
+    // would silently contaminate later timings (TaskClock sums ALL task
+    // ends), so they are tracked, re-awaited before the e2e reps, and any
+    // survivor is LABELED in the artifact (sweep_zombies)
+    val zombies = scala.collection.mutable.ArrayBuffer.empty[(String, java.util.concurrent.CountDownLatch)]
+    // strip quote/backslash AND every control char (RFC 8259 forbids
+    // unescaped <0x20; Netty/Hadoop messages embed ESC/FF) — one raw
+    // control char invalidates the whole artifact line
+    def errString(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
     var sweepSec = 0.0
     // deterministic sweep order — cheap tier alphabetical, then the
     // documented-expensive tier alphabetical — so a budget cut truncates at
-    // a predictable point and drops heavy-tail queries first
+    // a predictable point and drops heavy-tail queries first. The set is
+    // name-based; warn (loudly, not fatally) if a rename orphans an entry.
+    locally {
+      val unknown = expensiveLast -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] WARNING: expensiveLast names not in " +
+          s"SparkEntry.queries (rename drift?): ${unknown.mkString(", ")}")
+    }
     val sweepOrder = SparkEntry.queries.toSeq
       .sortBy { case (n, _) => (expensiveLast.contains(n), n) }
     if (!skipQueries) sweepOrder.foreach { case (name, fn) =>
@@ -150,37 +168,64 @@ object Bench {
         // for the thread to unwind before starting the next query
         val done = new java.util.concurrent.CountDownLatch(1)
         @volatile var failure: Option[Throwable] = None
+        @volatile var wallSec = 0.0
         val sc = spark.sparkContext
         val group = s"bench-sweep-$name"
         val worker = new Thread(() => {
           try {
             sc.setJobGroup(group, name, interruptOnCancel = true)
-            fn(spark, sfDir).count(); ()
+            fn(spark, sfDir).count()
+            wallSec = (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable => failure = Some(e) }
           finally { sc.clearJobGroup(); done.countDown() }
         }, group)
         worker.setDaemon(true)
         worker.start()
-        val finished =
+        var finished =
           done.await((capSec * 1000).toLong, java.util.concurrent.TimeUnit.MILLISECONDS)
         if (!finished) {
-          sc.cancelJobGroup(group)
+          // cancel ALL jobs in the group, including ones submitted after
+          // this call — plain cancelJobGroup only kills jobs active at that
+          // instant, and a multi-action query (AQE re-plans, pipeline
+          // phases) cancelled in a driver-side gap between jobs would sail
+          // on untouched as a zombie
+          sc.cancelJobGroupAndFutureJobs(group)
           // cancellation is cooperative; give the thread a bounded window to
-          // unwind (daemon — a stuck one cannot hold the JVM open)
-          done.await(60000L, java.util.concurrent.TimeUnit.MILLISECONDS)
+          // unwind (daemon — a stuck one cannot hold the JVM open), then
+          // interrupt as a fallback for driver-side work outside any job
+          finished = done.await(60000L, java.util.concurrent.TimeUnit.MILLISECONDS)
+          if (!finished) worker.interrupt()
+        }
+        if (!finished) {
+          zombies += ((name, done))
           capped += name
-          System.err.println(f"[bench] $name capped at $capSec%.0f s and cancelled")
+          System.err.println(f"[bench] $name capped at $capSec%.0f s; worker " +
+            "survived the grace window (tracked as zombie)")
         } else failure match {
-          case None => timings(name) = (System.nanoTime() - t0) / 1e9
+          case None =>
+            // the worker finished on its own — even if it crossed the cap
+            // and the cancel raced a completed job, a real measurement
+            // exists; record it rather than discarding it as capped
+            timings(name) = wallSec
           case Some(e) =>
-            // strip quote/backslash AND every control char (RFC 8259
-            // forbids unescaped <0x20; Netty/Hadoop messages embed ESC/FF)
-            // — one raw control char invalidates the whole artifact line
-            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
+            val cancelLike = {
+              val m = Option(e.getMessage).getOrElse("").toLowerCase
+              m.contains("cancel") || m.contains("interrupt")
+            }
+            if (cancelLike) {
+              capped += name
+              System.err.println(f"[bench] $name capped at $capSec%.0f s and cancelled")
+            } else errors(name) = errString(e) // a genuine failure in the
+            // grace window must land in query_errors, never be read as a cap
         }
         sweepSec += (System.nanoTime() - t0) / 1e9
       }
+    }
+    // drain zombie workers before anything else is timed; survivors after
+    // this second bounded wait are labeled in the artifact
+    val sweepZombies = zombies.flatMap { case (name, done) =>
+      if (done.await(60000L, java.util.concurrent.TimeUnit.MILLISECONDS)) None
+      else Some(name)
     }
 
     // headline: end-to-end dedup throughput on the deterministic corpus
@@ -270,6 +315,7 @@ object Bench {
       .mkString("{", ",", "}")
     val skippedJson = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cappedJson = capped.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val zombieJson = sweepZombies.map("\"" + _ + "\"").mkString("[", ",", "]")
     val samplesJson = samples.map(s => f"${s._1}%.1f").mkString("[", ",", "]")
     val matchedJson = samples.map(_._2).mkString("[", ",", "]")
     val cpuJson = cpuSamples.map(s => f"$s%.1f").mkString("[", ",", "]")
@@ -283,7 +329,7 @@ object Bench {
         s""""task_cpu_sec_samples":$cpuJson,"task_run_sec_samples":$runJson,""" +
         s""""weather_pre":${wx(weatherPre)},"weather_post":${wx(weatherPost)},""" +
         s""""cpus":$cpus,"queries":$qs,"query_errors":$errs,"query_skipped":$skippedJson,""" +
-        s""""query_capped":$cappedJson,"sf":"$sfDir"}"""
+        s""""query_capped":$cappedJson,"sweep_zombies":$zombieJson,"sf":"$sfDir"}"""
     println(line)
     // belt-and-suspenders artifact: the same line as a file, immune to any
     // log-prefix mangling by whatever launched this JVM. latest.json ALWAYS
