@@ -90,7 +90,11 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val localDir = {
+    // SPARK_GRAFT_LOCAL_DIR overrides the tmpfs default: /dev/shm is fastest
+    // for the standard 60k headline, but tmpfs spill is RAM — a large
+    // SPARK_GRAFT_E2E_N run whose shuffle + cache spill exceeds the box must
+    // spill to real disk or the OOM killer ends the JVM (observed at 2M docs)
+    val localDir = sys.env.get("SPARK_GRAFT_LOCAL_DIR").getOrElse {
       val d = java.nio.file.Paths.get("/dev/shm/graft-spark")
       try { java.nio.file.Files.createDirectories(d); d.toString }
       catch { case _: Throwable => System.getProperty("java.io.tmpdir") }
