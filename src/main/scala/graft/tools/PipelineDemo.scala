@@ -9,14 +9,19 @@ import graft.spark.{Clusters, GraftSession, Pipeline}
   * runs the full dedup DAG, prints metrics + the flagship query, and grades
   * recall / cluster equivalence against the sequential oracle.
   *
-  * Usage: sbt "runMain graft.tools.PipelineDemo [nDocs] [cores]"
+  * Usage: sbt "runMain graft.tools.PipelineDemo [nDocs] [cores] [seed]"
+  *
+  * The optional seed varies BOTH the synthesized corpus (duplicate planting,
+  * text content) and the MinHash family consistently (everything keys off
+  * cfg.seed), so a seed sweep re-grades recall/cluster-equivalence on fresh
+  * data instead of re-checking the one fixed-seed fixture.
   */
 object PipelineDemo {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(5000L)
     val cores = args.lift(1).map(_.toInt)
       .orElse(sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)).getOrElse(8)
-    val cfg = GraftConfig()
+    val cfg = args.lift(2).map(s => GraftConfig(seed = s.toLong)).getOrElse(GraftConfig())
     val spark = GraftSession.local(cores, "graft-pipeline-demo")
     import spark.implicits._
 
