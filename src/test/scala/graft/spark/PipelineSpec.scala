@@ -131,6 +131,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("extract_mismatches") === 0)
     assert(m("matched_pairs") <= m("candidate_pairs"))
   }
+
+  test("recall and cluster equivalence hold at FRESH seeds, not just the " +
+      "fixture seed (corpus content AND MinHash family both re-drawn)") {
+    for (seed <- Seq(1L, 7L)) {
+      val c = GraftConfig(seed = seed)
+      val m = 1200L
+      val res = Pipeline.run(CorpusSpark.pages(spark, m, parts = 8, seed = seed), c)
+      val t = OracleTruth.compute(m, c)
+      import spark.implicits._
+      val got = res.clusters.select("url", "cluster_id").as[(String, String)]
+        .collect().toMap
+      val hits = t.matchedPairs.count { case (a, b) =>
+        got.get(a).exists(ca => got.get(b).contains(ca))
+      }
+      assert(t.matchedPairs.nonEmpty, s"seed $seed fixture has no matched pairs")
+      assert(hits === t.matchedPairs.size, s"seed $seed recall " +
+        s"${hits.toDouble / t.matchedPairs.size} — banding under-recalled on fresh data")
+      assert(got === t.clusters, s"seed $seed cluster assignment diverged")
+    }
+  }
 }
 
 /** The exact-verify (SSIM-mode analog) and substring passes. */
