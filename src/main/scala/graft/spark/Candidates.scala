@@ -179,15 +179,39 @@ object Candidates {
     // The sorted url RDD is read twice (zipWithIndex's partition-size job +
     // the dictionary join) — persist for the window, released after the
     // rawPairs match below materializes everything downstream of it.
-    val sortedUrls = reps.select(col("url")).orderBy("url").as[String].rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dict = sortedUrls.zipWithIndex().toDF("url", "id")
+    //
+    // DELTA MODE runs url-keyed (id = url) and skips the dictionary
+    // entirely: the rank dictionary costs a full-corpus SORT plus a
+    // full-corpus dictionary JOIN — two wide shuffles that would otherwise
+    // run on EVERY increment at 10^12-doc scale, while the ids they buy are
+    // dropped by the scoped caller anyway (Pipeline.runIncrementalScoped
+    // strips id_a/id_b before the state hand-off; the splice union-find is
+    // url-keyed and bounded by the affected subgraph, not the corpus). The
+    // byte diet matters on the one-shot path, where the band join and every
+    // union-find round shuffle the full candidate volume; a delta's pair
+    // volume is increment-sized, so string keys there cost noise. Semantics:
+    // url order IS id order (the isomorphism trivially), hub election and
+    // pair orientation are unchanged; the one divergence is the sampled
+    // heavy-key CLASSIFICATION hash (xxhash64 over id — rank long one-shot,
+    // url string delta), so a borderline sampled key can classify
+    // differently than one-shot. Under salted-triangle routing the pair SET
+    // is classification-invariant (light equi-join and triangle both emit
+    // every in-key pair); under star routing the delta topology is already
+    // documented as a conservative superset of one-shot's.
+    val delta = newUrls.isDefined
+    val sortedUrls =
+      if (delta) None
+      else Some(reps.select(col("url")).orderBy("url").as[String].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bandCols = Seq("simhash_head", "simhash_tail",
       "mh_bands_head", "mh_bands_tail", "mh_rescue_head", "mh_rescue_tail") ++
       (if (cfg.substringPass) Seq("ss_keys") else Nil)
-    val repSlim = registerPersist(reps
+    val repProj = reps
       .select(("url" +: (bandCols ++ Seq("text_len", "size"))).map(col): _*)
-      .join(dict, "url"))
+    val repSlim = registerPersist(sortedUrls match {
+      case Some(su) => repProj.join(su.zipWithIndex().toDF("url", "id"), "url")
+      case None => repProj.withColumn("id", col("url"))
+    })
 
     // the band relation feeds the key-count pass, both sides of the light
     // self-join and both sides of the heavy triangle join — cache it once
@@ -201,10 +225,8 @@ object Candidates {
     // sigs/reps/repSlim/bnds exactly once; every consumer then reads cached
     // blocks.
     bnds.count()
-    // sortedUrls is released AFTER the rawPairs match below: the delta
-    // branch materializes its newIds set from the dictionary eagerly
-    // (newIds.count()), and an early release here would force that job to
-    // re-run the full-corpus sort
+    // sortedUrls (one-shot mode only) is released after the rawPairs match
+    // below, once everything downstream of the dictionary is planned
 
     // heavy-key detection, sampled by default: a full groupBy-count of the
     // band relation costs one more full shuffle; sampling finds every key
@@ -333,21 +355,20 @@ object Candidates {
         // — when the increment is small Catalyst broadcasts the new side, so
         // the PAIR JOIN adds no full-corpus shuffle (the 10^12-doc resume
         // story: candidate-join work scales with the increment). Honest
-        // bound: the dictionary sort, the band-relation build, and heavy
-        // detection above still run over the full rep set each increment —
-        // O(corpus) narrow/map-side work, not O(corpus^2) join work; making
-        // those increment-sized needs the dictionary and band relation
-        // persisted in the store between increments (future work, noted in
-        // BASELINE). Old-old pairs are excluded by construction; the caller
-        // supplies them from the previous run's persisted pairs table
-        // (Pipeline.runIncremental keeps them — candidate generation over
-        // unchanged reps is a pure function of the rep set, so those rows
-        // cannot have changed).
-        // Persist + materialize the (increment-sized) id set while
-        // sortedUrls is still cached: every later consumer (bndsNew,
-        // na/nb) otherwise re-runs the dictionary's full-corpus sort.
-        val newIds = registerPersist(
-          dict.join(nu.select("url"), Seq("url"), "left_semi").select("id"))
+        // bound: the band-relation build and the sampled heavy detection
+        // above still touch the full rep set each increment — a narrow
+        // explode plus a sample-volume shuffle, no full-corpus WIDE shuffle
+        // (the dictionary sort + dictionary join the one-shot path pays are
+        // skipped in delta mode — ids here ARE the urls, see the delta-mode
+        // note above); making even the narrow work increment-sized needs the
+        // band relation persisted in the store between increments. Old-old
+        // pairs are excluded by construction; the caller supplies them from
+        // the previous run's persisted pairs table (Pipeline.runIncremental
+        // keeps them — candidate generation over unchanged reps is a pure
+        // function of the rep set, so those rows cannot have changed).
+        // Persist + materialize the (increment-sized) id set: it feeds three
+        // consumers (bndsNew, na/nb) that would each re-run nu's lineage.
+        val newIds = registerPersist(nu.select(col("url").as("id")).distinct())
         newIds.count()
         val bndsNew = bnds.join(newIds, Seq("id"), "left_semi")
         val lightNew = bndsNew.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
@@ -386,7 +407,7 @@ object Candidates {
           .drop("__na", "__nb")
         lightDelta.unionByName(heavyDelta)
     }
-    sortedUrls.unpersist(blocking = false)
+    sortedUrls.foreach(_.unpersist(blocking = false))
 
     // J3 pair dedup (a pair can collide in several bands); remember whether
     // any colliding band was the sampled-shingle family (substring gate).

@@ -57,6 +57,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!smjOnBand, "heavy path sort-merge-joined on band_id:\n" + plan.take(3000))
   }
 
+  test("delta-mode candidate plan skips the dictionary (no full-corpus " +
+      "sort on increments; one-shot keeps the byte-diet ids)") {
+    val cfg = GraftConfig()
+    val pages = CorpusSpark.pages(spark, 400L, parts = 2, seed = cfg.seed)
+    val reps = Fingerprints.fromPages(pages, cfg).toDF()
+      .filter(col("reject_reason").isNull)
+    val nu = reps.select("url").limit(40)
+    // the url->rank dictionary is the only global sort in the candidate
+    // layer, and it enters the pairs plan as an RDD scan leaf (ExternalRDD /
+    // LogicalRDD — zipWithIndex over the range-shuffled sorted-url RDD), NOT
+    // as a Sort node, so the discriminator is the leaf itself: delta mode has
+    // none (every increment at 10^12 docs would otherwise pay a full-corpus
+    // range shuffle + dictionary join for ids the scoped caller drops), and
+    // delta ids are then the urls themselves (string type).
+    val delta = Candidates.candidatePairs(reps, cfg, Some(nu))
+    def rddLeaves(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l: Any
+        case l: org.apache.spark.sql.execution.ExternalRDD[_] => l: Any
+      }
+    val deltaRddLeaves = rddLeaves(delta)
+    assert(deltaRddLeaves.isEmpty,
+      s"delta candidate plan carries ${deltaRddLeaves.size} RDD leaves (the " +
+        "dictionary sort ran on an increment)")
+    assert(delta.schema("id_a").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // the one-shot plan DOES carry the dictionary leaf and long ids — pin
+    // the contrast so this test fails loudly if the encoding moves
+    val oneShot = Candidates.candidatePairs(reps, cfg)
+    assert(rddLeaves(oneShot).nonEmpty)
+    assert(oneShot.schema("id_a").dataType ==
+      org.apache.spark.sql.types.LongType)
+    Candidates.cleanupCaches()
+  }
+
   test("exact-verify shingle join is a hash join gated to the admitted stratum") {
     // built from the public stage APIs rather than Pipeline.run: the
     // pipeline's Result.pairs is lineage-truncated to a LogicalRDD leaf
