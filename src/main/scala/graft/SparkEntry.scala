@@ -399,6 +399,7 @@ object SparkEntry {
     // ---- ANN over embeddings ----
     "q_ann_brute" -> ((s, d) => AnnOps.bruteTopK(t(s, d, "embeddings"), k = 5, nQueries = 10)),
     "q_ann_lsh" -> ((s, d) => AnnOps.lshTopK(t(s, d, "embeddings"), k = 5, nQueries = 10)),
+    "q_ann_ivf" -> ((s, d) => AnnOps.ivfTopK(t(s, d, "embeddings"), k = 5, nQueries = 10)),
 
     // ---- multimodal plumbing (stubbed decode; real batching/schema) ----
     "q_multimodal_frames" -> ((s, d) =>
@@ -814,6 +815,17 @@ object SparkEntry {
     // scoring, window ranking — the q_simhash_dedup pattern
     AnnOps.hyperplaneSketch(t(spark, sfDir, "embeddings"), nBits = 12, seed = 42L)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_buckets")
+    // the only non-SQL piece of q_ann_ivf is the k-means quantizer (its
+    // training is bit-deterministic — sorted folds — so this re-train equals
+    // the query run's model exactly); export the inverted-list assignment
+    // and the per-query probe lists (same params as AnnOps.ivfTopK's
+    // defaults) and DuckDB re-derives candidates, cosine scoring, and
+    // ranking — the q_ann_lsh pattern
+    val ivfCents = AnnOps.ivfTrain(t(spark, sfDir, "embeddings"))
+    AnnOps.ivfAssign(t(spark, sfDir, "embeddings"), ivfCents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_ivf_cells")
+    AnnOps.ivfProbes(t(spark, sfDir, "embeddings"), ivfCents, nQueries = 10, nProbes = 4)
+      .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_ivf_probes")
   }
 
   /** Shared DuckDB prelude for the webtext oracles: re-derives exact groups
@@ -1018,6 +1030,24 @@ object SparkEntry {
         |  SELECT DISTINCT q.query_id, s.vec_id
         |  FROM qb q JOIN sk s ON q.bucket = s.bucket
         |  WHERE s.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT c.query_id, c.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY c.query_id
+        |      ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+        |               c.vec_id ASC) AS BIGINT) AS rank
+        |  FROM cand c
+        |  JOIN embeddings a ON a.vec_id = c.query_id
+        |  JOIN embeddings b ON b.vec_id = c.vec_id)
+        |SELECT query_id, vec_id AS neighbor_id, rank
+        |FROM scored WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH asg AS (SELECT * FROM read_parquet('{AUX}/ann_ivf_cells/*.parquet')),
+        |qp AS (SELECT * FROM read_parquet('{AUX}/ann_ivf_probes/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT q.query_id, a.vec_id
+        |  FROM qp q JOIN asg a USING (cell)
+        |  WHERE a.vec_id <> q.query_id),
         |scored AS (
         |  SELECT c.query_id, c.vec_id,
         |    CAST(row_number() OVER (PARTITION BY c.query_id

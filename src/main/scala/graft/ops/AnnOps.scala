@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.core.XXH64
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (ARRAY<FLOAT>). Two paths:
+  * (ARRAY<FLOAT>). Three paths:
   *
   *  - `bruteTopK`: exact cosine top-k via a blocked cross join — the
   *    correctness baseline. All math is built-in higher-order functions
@@ -14,9 +14,17 @@ import graft.core.XXH64
   *  - `lshTopK`: random-hyperplane LSH (sign-bit sketch of the embedding,
   *    the pHash-for-vectors analog) with multi-probe bucketing — the scale
   *    path: candidates are per-bucket, cost ~ n * bucketSize instead of n^2.
+  *  - `ivfTopK`: inverted-file index (IVF-flat) — a spherical k-means
+  *    coarse quantizer partitions vectors into nCells inverted lists;
+  *    queries probe the nProbes nearest cells and score only those lists.
+  *    Unlike LSH's data-oblivious hyperplanes, the quantizer adapts to the
+  *    data distribution, so cell occupancy is balanced where the data is.
   *
-  * At cluster scale, brute force shuffles n_q x n rows; the LSH path
-  * partitions by bucket key so each task scores a bounded candidate set.
+  * At cluster scale, brute force shuffles n_q x n rows; the LSH/IVF paths
+  * partition by bucket/cell key so each task scores a bounded candidate
+  * set. IVF training is bounded by `maxTrain` (quantizers are trained on a
+  * sample — the model is nCells x dim doubles, broadcast to executors);
+  * full-corpus assignment is a map-only pass over the broadcast model.
   */
 object AnnOps {
 
@@ -112,6 +120,14 @@ object AnnOps {
       .filter(col("query_id") =!= col("vec_id"))
       .select("query_id", "vec_id").distinct()
 
+    scoreAndRank(candIds, emb, k)
+  }
+
+  /** Shared scoring tail of the bucketed paths (LSH and IVF): join the
+    * vectors back at CANDIDATE volume, score cosine inside codegen, rank
+    * per query (ties broken by neighbor id so the output is total-ordered),
+    * keep top-k. */
+  private def scoreAndRank(candIds: DataFrame, emb: DataFrame, k: Int): DataFrame = {
     val base = withNorm(emb, "vec_id")
     val scored = candIds
       .join(base.toDF("query_id", "v_q", "norm_q"), "query_id")
@@ -124,6 +140,109 @@ object AnnOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Per-row nearest cells under the broadcast centroid model: emits the
+    * `nProbes` highest-cosine (vec_id, cell) rows per vector, ties broken
+    * by lower cell id. One map-only pass — the model (nCells x dim doubles)
+    * rides a broadcast, so assignment never shuffles the corpus. */
+  private def cellRank(vecs: DataFrame, cents: Array[Array[Double]],
+                       nProbes: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val cn = cs.map { c =>
+          var s = 0.0; var i = 0
+          while (i < c.length) { s += c(i) * c(i); i += 1 }
+          math.sqrt(s)
+        }
+        it.flatMap { case (id, vSeq) =>
+          val v = vSeq.toArray
+          var s = 0.0; var i = 0
+          while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+          val vn = math.sqrt(s)
+          val sims = Array.tabulate(cs.length) { c =>
+            val cc = cs(c)
+            var dot = 0.0; var j = 0
+            val n = math.min(v.length, cc.length)
+            while (j < n) { dot += v(j) * cc(j); j += 1 }
+            if (vn == 0.0 || cn(c) == 0.0) 0.0 else dot / (vn * cn(c))
+          }
+          (0 until cs.length).sortBy(c => (-sims(c), c))
+            .take(math.min(nProbes, cs.length)).map(c => (id, c))
+        }
+      }.toDF("vec_id", "cell")
+  }
+
+  /** Deterministic spherical k-means coarse quantizer. Bit-reproducible
+    * under ANY input partitioning: the training sample and the initial
+    * centroids are taken in xxhash64(vec_id, seed) order (orderBy+limit
+    * plans as a top-k, never a full sort), and each update-step mean folds
+    * its addends in vec_id order (array_sort over collected (vec_id, x)
+    * structs), so FP summation order — the usual nondeterminism of a
+    * distributed mean — is pinned. Fixed `iters` rounds, no early stop.
+    * Cells that lose all members keep their previous centroid. The model
+    * is tiny (nCells x dim doubles) and lives driver-side. */
+  def ivfTrain(emb: DataFrame, nCells: Int = 16, iters: Int = 3,
+               seed: Long = 42L, maxTrain: Int = 100000): Array[Array[Double]] = {
+    val train = emb
+      .select(col("vec_id"), col("embedding"),
+        xxhash64(col("vec_id"), lit(seed)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(maxTrain)
+      .persist()
+    try {
+      var cents: Array[Array[Double]] = train
+        .orderBy(col("h"), col("vec_id")).limit(nCells)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      for (_ <- 0 until iters) {
+        val asg = cellRank(train, cents, 1)
+        val sums = train.join(asg, Seq("vec_id"))
+          .select(col("cell"), col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")))
+          .toDF("cell", "vec_id", "dim", "x")
+          .groupBy("cell", "dim")
+          .agg(count(lit(1L)).as("n"),
+            aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
+              lit(0.0), (a, s) => a + s.getField("x")).as("sx"))
+          .collect()
+        val next = cents.map(_.clone())
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(3) / r.getLong(2)
+        }
+        cents = next
+      }
+      cents
+    } finally { train.unpersist(); () }
+  }
+
+  /** Full-corpus inverted-list assignment: (vec_id, cell), map-only. */
+  def ivfAssign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    cellRank(emb, cents, 1)
+
+  /** Per-query probe list: the nProbes nearest cells per query vector. */
+  def ivfProbes(emb: DataFrame, cents: Array[Array[Double]],
+                nQueries: Int = 10, nProbes: Int = 4): DataFrame =
+    cellRank(emb.filter(col("vec_id") < nQueries), cents, nProbes)
+      .toDF("query_id", "cell")
+
+  /** IVF-flat approximate top-k: train the quantizer (bounded sample),
+    * assign every vector to its inverted list, probe the nProbes nearest
+    * lists per query, and score only list members — cost ~ n_q x (probed
+    * list sizes) instead of n_q x n. The candidate join is SLIM (ids +
+    * cell keys); vectors join back at candidate volume in scoreAndRank. */
+  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nCells: Int = 16,
+              nProbes: Int = 4, iters: Int = 3, seed: Long = 42L,
+              maxTrain: Int = 100000): DataFrame = {
+    val cents = ivfTrain(emb, nCells, iters, seed, maxTrain)
+    val candIds = ivfProbes(emb, cents, nQueries, nProbes)
+      .join(ivfAssign(emb, cents), "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+    scoreAndRank(candIds, emb, k)
   }
 
   /** Recall of the LSH path against the brute-force baseline (diagnostic).
