@@ -22,7 +22,13 @@ final case class DocSignature(
       * stream — a verbatim block inside a giant document whose shingles fall
       * outside the stored bottom-k sketch still yields candidate keys
       * (round-3 verdict: sampling from the capped arrays silently lost those). */
-    ssKeys: Array[Long]
+    ssKeys: Array[Long],
+    /** Per-slot minhash signatures over the STORED (capped) slot arrays —
+      * exactly `minHasher.signature(shinglesHead/Tail)`, computed once here
+      * so the consumers (expression kernel + typed path) stop paying the
+      * O(numPerm x slot) pass a second time; null when the slot is empty. */
+    mhHead: Array[Long],
+    mhTail: Array[Long]
 ) {
   /** Reference rejects a video when every hash slot is 0 (video.cpp:40-42). */
   def isRejected: Boolean = simhashHead == 0L && simhashTail == 0L
@@ -106,7 +112,23 @@ object DocSignatures {
       val mid = n / 2
       val head = sh.hashesOf(th, 0, mid)
       val tail = sh.hashesOf(th, mid, n)
-      val full = sh.hashesOf(th, 0, n)
+      val mhHead = minHasher.signature(cap(head))
+      val mhTail = minHasher.signature(cap(tail))
+      // minhash(full) WITHOUT re-hashing and re-scanning the full window set:
+      // when both slots hold full k-windows (n >= 2k) the full set is exactly
+      // head-windows ∪ straddling-windows ∪ tail-windows (positions 0..mid-k,
+      // mid-k+1..mid-1, mid..n-k), and the minhash of a union is the
+      // elementwise unsigned min of the parts' signatures — so the full-doc
+      // signature costs one (2k-2)-window straddle pass plus a combine,
+      // instead of an O(n) re-hash + sort + O(numPerm x n) scan. Valid only
+      // when the slot signatures were computed over UNCAPPED sets (under the
+      // stored-array cap); over-cap docs fall back to the direct path.
+      val minhashFull =
+        if (n >= 2 * cfg.k && head.length <= cfg.maxStoredShinglesPerSlot &&
+            tail.length <= cfg.maxStoredShinglesPerSlot) {
+          val straddle = sh.hashesOf(th, mid - cfg.k + 1, mid + cfg.k - 1)
+          combineMin(combineMin(mhHead, mhTail), minHasher.signature(straddle))
+        } else minHasher.signature(sh.hashesOf(th, 0, n))
       DocSignature(
         textLen = text.length.toLong,
         sizeBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
@@ -114,8 +136,10 @@ object DocSignatures {
         simhashTail = SimHash64.of(tail, cfg.minDistinctShingles),
         shinglesHead = cap(head),
         shinglesTail = cap(tail),
-        minhash = minHasher.signature(full),
-        ssKeys = sampleKeys(head, tail)
+        minhash = minhashFull,
+        ssKeys = sampleKeys(head, tail),
+        mhHead = mhHead,
+        mhTail = mhTail
       )
     } else {
       // grid modes (and degenerate cutEnds at n<2): one slot over the union
@@ -135,6 +159,12 @@ object DocSignatures {
           while (it.hasNext) { out(i) = it.next(); i += 1 }
           out
         }
+      // one slot: the stored-array signature IS the full signature when the
+      // set fits under the cap — compute once, share both fields
+      val mhHead = minHasher.signature(cap(sampled))
+      val minhashFull =
+        if (sampled.length <= cfg.maxStoredShinglesPerSlot) mhHead
+        else minHasher.signature(sampled)
       DocSignature(
         textLen = text.length.toLong,
         sizeBytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
@@ -142,10 +172,26 @@ object DocSignatures {
         simhashTail = 0L,
         shinglesHead = cap(sampled),
         shinglesTail = Array.emptyLongArray,
-        minhash = minHasher.signature(sampled),
-        ssKeys = sampleKeys(sampled, Array.emptyLongArray)
+        minhash = minhashFull,
+        ssKeys = sampleKeys(sampled, Array.emptyLongArray),
+        mhHead = mhHead,
+        mhTail = null
       )
     }
+  }
+
+  /** Elementwise unsigned min of two minhash signatures (null = empty set:
+    * the identity). The minhash of a set union. */
+  private def combineMin(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a == null) return b
+    if (b == null) return a
+    val out = new Array[Long](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = if (java.lang.Long.compareUnsigned(a(i), b(i)) <= 0) a(i) else b(i)
+      i += 1
+    }
+    out
   }
 }
 

@@ -1,42 +1,109 @@
 package graft.core
 
-/** Longest-verbatim-overlap detection between two documents via a generalized
-  * suffix array — the structural-similarity analog of the reference's SSIM
-  * pass (SURVEY §2.8 V4): SSIM catches pairs whose pHash differs but whose
-  * pixel structure matches; this catches pairs whose shingle-set Jaccard is
-  * low but that share a long verbatim block (e.g. 30% of doc A pasted into
-  * an unrelated doc B).
+/** Longest-verbatim-overlap detection between two documents — the
+  * structural-similarity analog of the reference's SSIM pass (SURVEY §2.8
+  * V4): SSIM catches pairs whose pHash differs but whose pixel structure
+  * matches; this catches pairs whose shingle-set Jaccard is low but that
+  * share a long verbatim block (e.g. 30% of doc A pasted into an unrelated
+  * doc B).
   *
-  * Implementation: concatenate a + sep + b, build a suffix array with
-  * the O(n log^2 n) doubling construction, compute LCPs (Kasai), and return
-  * the maximum LCP between adjacent suffixes that originate in different
-  * documents. Runs per candidate pair inside a partition — never on the
-  * driver.
+  * Implementation: a suffix automaton (Blumer et al.'s DAWG — the textbook
+  * linear longest-common-substring algorithm) built over the SHORTER string,
+  * then one linear traversal of the longer string tracking the longest
+  * matched suffix. Exact — same value as the generalized-suffix-array
+  * construction it replaced ([[suffixArray]]/[[kasai]] kept below for
+  * spec-level cross-checks), but one allocation-light linear pass instead of
+  * O(n log n) counting-sort doubling rounds. Runs per candidate pair inside
+  * a partition — never on the driver.
   */
 object SuffixOverlap {
 
   /** Length (in chars) of the longest common substring of a and b.
-    * NUL chars in the input are mapped to \\u0001 so they cannot alias the
-    * document separator and inflate the overlap across it. */
+    * NUL chars in the input are mapped to \\u0001 (parity with the previous
+    * separator-based construction, which conflated the two). */
   def longestCommonSubstring(a0: String, b0: String): Int = {
     if (a0 == null || b0 == null || a0.isEmpty || b0.isEmpty) return 0
-    val sep = '\u0000'
-    val a = a0.replace(sep, '\u0001')
-    val b = b0.replace(sep, '\u0001')
-    val s = a + sep + b
-    val n = s.length
-    val boundary = a.length // index of separator; suffix i is from doc A iff i < boundary
+    val x0 = a0.replace('\u0000', '\u0001')
+    val y0 = b0.replace('\u0000', '\u0001')
+    // automaton over the shorter string: state/transition arrays scale with
+    // the automaton string, the traversal is a linear scan either way
+    val (a, b) = if (x0.length <= y0.length) (x0, y0) else (y0, x0)
 
-    val sa = suffixArray(s)
-    val lcp = kasai(s, sa)
-
-    var best = 0
-    var i = 1
-    while (i < n) {
-      val p = sa(i - 1); val q = sa(i)
-      val fromA = p < boundary; val fromB = q < boundary
-      if (fromA != fromB && lcp(i) > best) best = lcp(i)
+    // dense alphabet of `a` — transitions are a flat states x alphabet array;
+    // a char of `b` outside it resets the current match
+    val ca = a.toCharArray
+    val sortedA = ca.clone()
+    java.util.Arrays.sort(sortedA)
+    val alpha = new Array[Char](sortedA.length)
+    var nAlpha = 0
+    var i = 0
+    while (i < sortedA.length) {
+      if (nAlpha == 0 || sortedA(i) != alpha(nAlpha - 1)) {
+        alpha(nAlpha) = sortedA(i); nAlpha += 1
+      }
       i += 1
+    }
+
+    val maxStates = 2 * ca.length + 2
+    val next = new Array[Int](maxStates * nAlpha)
+    java.util.Arrays.fill(next, -1)
+    val link = new Array[Int](maxStates)
+    val len = new Array[Int](maxStates)
+    link(0) = -1
+    var size = 1
+    var last = 0
+    i = 0
+    while (i < ca.length) {
+      val c = java.util.Arrays.binarySearch(alpha, 0, nAlpha, ca(i))
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      link(cur) = 0
+      var p = last
+      while (p != -1 && next(p * nAlpha + c) == -1) {
+        next(p * nAlpha + c) = cur
+        p = link(p)
+      }
+      if (p != -1) {
+        val q = next(p * nAlpha + c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          System.arraycopy(next, q * nAlpha, next, clone * nAlpha, nAlpha)
+          while (p != -1 && next(p * nAlpha + c) == q) {
+            next(p * nAlpha + c) = clone
+            p = link(p)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      i += 1
+    }
+
+    // walk b through the automaton, tracking the longest suffix of b[0..j]
+    // that occurs in a (standard suffix-link fallback traversal)
+    var best = 0
+    var v = 0
+    var l = 0
+    var j = 0
+    val nb = b.length
+    while (j < nb) {
+      val c = java.util.Arrays.binarySearch(alpha, 0, nAlpha, b.charAt(j))
+      if (c < 0) { v = 0; l = 0 }
+      else {
+        while (v != 0 && next(v * nAlpha + c) == -1) {
+          v = link(v)
+          l = len(v)
+        }
+        val t = next(v * nAlpha + c)
+        if (t != -1) { v = t; l += 1 }
+        else l = 0
+        if (l > best) best = l
+      }
+      j += 1
     }
     best
   }

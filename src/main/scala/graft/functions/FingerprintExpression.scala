@@ -117,8 +117,12 @@ final class FingerprintKernel(cfg: GraftConfig) extends Serializable {
     if (sig.simhashHead == 0L) row.setNullAt(3) else row.setLong(3, sig.simhashHead)
     if (sig.simhashTail == 0L) row.setNullAt(4) else row.setLong(4, sig.simhashTail)
     val mhFull = if (sig.minhash == null) Array.emptyLongArray else sig.minhash
-    val mhHead = mh.signature(sig.shinglesHead)
-    val mhTail = mh.signature(sig.shinglesTail)
+    // per-slot signatures come precomputed on the DocSignature (computed once
+    // over the stored arrays in DocSignatures.of — the full-doc signature is
+    // derived from them there, so re-running the O(numPerm x slot) pass here
+    // would double the hottest kernel's cost)
+    val mhHead = sig.mhHead
+    val mhTail = sig.mhTail
     row.update(5, UnsafeArrayData.fromPrimitiveArray(mhFull))
     row.update(6, UnsafeArrayData.fromPrimitiveArray(bandKeys(mhHead)))
     row.update(7, UnsafeArrayData.fromPrimitiveArray(bandKeys(mhTail)))

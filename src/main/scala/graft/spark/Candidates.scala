@@ -201,8 +201,10 @@ object Candidates {
     val delta = newUrls.isDefined
     val sortedUrls =
       if (delta) None
-      else Some(reps.select(col("url")).orderBy("url").as[String].rdd
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else Some(Pipeline.labeled(spark, "graft: url dictionary sort") {
+        reps.select(col("url")).orderBy("url").as[String].rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     val bandCols = Seq("simhash_head", "simhash_tail",
       "mh_bands_head", "mh_bands_tail", "mh_rescue_head", "mh_rescue_tail") ++
       (if (cfg.substringPass) Seq("ss_keys") else Nil)
@@ -224,7 +226,7 @@ object Candidates {
     // (and the fingerprint pipeline under it). One narrow count populates
     // sigs/reps/repSlim/bnds exactly once; every consumer then reads cached
     // blocks.
-    bnds.count()
+    Pipeline.labeled(spark, "graft: band relation build") { bnds.count() }
     // sortedUrls (one-shot mode only) is released after the rawPairs match
     // below, once everything downstream of the dictionary is planned
 
@@ -264,7 +266,7 @@ object Candidates {
     // bnds.count() above: AQE runs the anti/semi join stages as concurrent
     // jobs, and a concurrent first touch of the unpopulated cache would make
     // each re-run the aggregation — the cost the persist exists to remove
-    heavyKeys.count()
+    Pipeline.labeled(spark, "graft: heavy-key detect") { heavyKeys.count() }
 
     val light = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
 

@@ -86,7 +86,7 @@ object Clusters {
     def fitsLocal(cnt: Long, bytes: Long): Boolean =
       cnt <= localFinishEdges && bytes <= localFinishBytes
 
-    def localFinish(e: DataFrame): DataFrame = {
+    def localFinish(e: DataFrame): DataFrame = Pipeline.labeled(spark, "graft: union-find local finish") {
       // one collect job (bounded by the byte budget), not toLocalIterator's
       // job-per-partition driver fan-out
       val labeled =
@@ -116,9 +116,13 @@ object Clusters {
     // upstream lineage (measured 12x duplicate 11-22s computations at 200k
     // docs with eager=false). One eager job here computes the pipeline once;
     // every later stage reads the checkpoint blocks.
-    var edges = pairs.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    var (cnt, sig, bytes) = signature(edges)
+    var edges = Pipeline.labeled(spark, "graft: union-find edges checkpoint") {
+      pairs.select(col("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    }
+    var (cnt, sig, bytes) = Pipeline.labeled(spark, "graft: union-find signature") {
+      signature(edges)
+    }
     if (cnt == 0) return {
       if (stringNodes) Seq.empty[(String, String)].toDF("url", "cluster_id")
       else Seq.empty[(Long, Long)].toDF("url", "cluster_id")

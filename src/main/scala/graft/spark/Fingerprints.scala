@@ -45,6 +45,18 @@ final case class SignatureRow(
   */
 object Fingerprints {
 
+  /** Frames persisted internally by [[urlDedup]] (the slim (url, warc_ts)
+    * key aggregate). Same ownership contract as Candidates.persistedFrames:
+    * the pipeline releases them via [[cleanupCaches]] once its results are
+    * lineage-truncated; until then they back every dedup decision branch.
+    * Re-materialization after release is correct (just recomputes). */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  def cleanupCaches(): Unit = {
+    var df = persistedFrames.poll()
+    while (df != null) { df.unpersist(false); df = persistedFrames.poll() }
+  }
+
   /** content identity = md5(url + "_" + epochMillis(warc_ts)) — the analog of
     * the reference's md5(filename + "_" + mtime) cache key (db.cpp:22-30):
     * url-stable, content-version-sensitive. */
@@ -89,8 +101,8 @@ object Fingerprints {
     def bandKeys(sigArr: Array[Long]): Array[Long] = kern.bandKeys(sigArr)
     def rescueKeys(sigArr: Array[Long], nShingles: Int): Array[Long] =
       kern.rescueKeys(sigArr, nShingles)
-    val mhHead = mh.signature(sig.shinglesHead)
-    val mhTail = mh.signature(sig.shinglesTail)
+    val mhHead = sig.mhHead // precomputed over the stored arrays (DocSignatures.of)
+    val mhTail = sig.mhTail
     SignatureRow(
       url = url,
       content_id = contentId(url, ts),
@@ -151,7 +163,15 @@ object Fingerprints {
     * is arrival-ordered — the one dedup decision that cannot be batch-split
     * invariant without re-reading committed payloads. */
   def dropRecrawlDuplicateUrls(pages: DataFrame): DataFrame =
-    urlDedup(pages, caseRule = false)
+    urlDedup(pages, caseRule = false, eagerKeys = false)
+
+  /** [[dropRecrawlDuplicateUrls]] with the shared key aggregate materialized
+    * NOW (one job): for eager call sites (Resume's commit path) where the
+    * first downstream action fans out into concurrent AQE stage jobs that
+    * would otherwise race the unpopulated keys cache. The public entry
+    * points stay lazy (plan-construction contract, Round5ReviewSpec). */
+  private[graft] def dropRecrawlDuplicateUrlsEager(pages: DataFrame): DataFrame =
+    urlDedup(pages, caseRule = false, eagerKeys = true)
 
   /** Shared body of the two url-dedup entry points. Plan discipline (the
     * round-5 perf regression root cause, see BENCH/BASELINE.md): EVERY
@@ -162,10 +182,31 @@ object Fingerprints {
     * payload window and never re-derived per consumer. A previous cut let
     * rule 2 re-consume the rule-1 output twice, tripling full-payload cache
     * reads of a ~10 KB/row relation on a bandwidth-bound box. */
-  private def urlDedup(pages: DataFrame, caseRule: Boolean): DataFrame = {
+  private def urlDedup(pages: DataFrame, caseRule: Boolean,
+                       eagerKeys: Boolean): DataFrame = {
     val dataCols = pages.columns.toSeq.filter(c => c != "url" && c != "warc_ts")
-    val keys = pages.groupBy(col("url"), col("warc_ts"))
+    // The slim key aggregate feeds EVERY decision branch (recrawl ranking,
+    // case ranking, duplicate-key detection), and each branch is referenced
+    // from both payload passes below — as a logical TREE that is ~6 copies
+    // of this subtree, and the broadcast builds materialize them as ~6
+    // concurrent jobs that each re-scan `pages` (measured: a 6-job ladder of
+    // 256-task stages owning the sigs-build wall at 60k docs). Persist +
+    // eager-materialize once; every branch then reads 60k slim cached rows.
+    // Released by the pipeline via cleanupCaches (Candidates discipline).
+    // eagerKeys=false keeps plan construction side-effect-free (the
+    // Round5ReviewSpec contract): persist() alone already optimizes the
+    // cached plan, which EVALUATES LocalRelation projections — so the lazy
+    // entry points skip the persist too and keep the exact pre-round-6 plan.
+    val keys0 = pages.groupBy(col("url"), col("warc_ts"))
       .agg(count(lit(1)).as("__copies"))
+    val keys =
+      if (!eagerKeys) keys0
+      else {
+        val k = keys0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistedFrames.add(k)
+        Pipeline.labeled(pages.sparkSession, "graft: url-dedup keys") { k.count() }
+        k
+      }
     val wUrl = Window.partitionBy(col("url")).orderBy(col("warc_ts").desc)
     val ranked = keys.withColumn("__rn", row_number().over(wUrl))
     val winners = ranked.filter(col("__rn") === 1)
@@ -185,10 +226,18 @@ object Fingerprints {
       }
     val dupKeys = winners.filter(col("__copies") > 1).select("url", "warc_ts")
 
-    // payload pass 1: both anti-joins chain inside one scan stage (loser and
-    // dup-key sets are rare → AQE broadcasts them)
-    val clean = pages.join(losers, Seq("url", "warc_ts"), "left_anti")
-      .join(dupKeys, Seq("url", "warc_ts"), "left_anti")
+    // payload pass 1: both anti-joins chain inside one scan stage. The
+    // broadcast hints are LOAD-BEARING (round-6 measurement): this dedup is
+    // the child of the persisted signatures frame, and AQE does not re-plan
+    // join strategies inside a cached-plan build — without the hints the
+    // planner kept SortMergeJoin and the full ~10 KB/row payload relation
+    // was exchanged + sorted per join branch (5 payload exchanges, 7
+    // concurrent 256-task stages, ~60% of a 60k-doc pipeline's wall). Loser
+    // and dup-key sets are keys of re-crawled/case-variant urls — rare by
+    // the ingest contract; a pathological batch fails loudly at the 8 GB
+    // broadcast cap rather than silently reintroducing the payload shuffle.
+    val clean = pages.join(broadcast(losers), Seq("url", "warc_ts"), "left_anti")
+      .join(broadcast(dupKeys), Seq("url", "warc_ts"), "left_anti")
     // payload pass 2 (empty in well-formed input): collapse identical-key
     // copies to ONE row via an aggregate — the winner is the lexicographic
     // minimum over (xxhash64 of every non-key column, then the columns
@@ -201,8 +250,8 @@ object Fingerprints {
       if (fs.isEmpty) Seq(lit(0L).as("__h0")) else fs
     }
     val packed = struct(packedFields: _*)
-    val collapsed = pages.join(losers, Seq("url", "warc_ts"), "left_anti")
-      .join(dupKeys, Seq("url", "warc_ts"), "left_semi")
+    val collapsed = pages.join(broadcast(losers), Seq("url", "warc_ts"), "left_anti")
+      .join(broadcast(dupKeys), Seq("url", "warc_ts"), "left_semi")
       .groupBy(col("url"), col("warc_ts"))
       .agg(min(packed).as("__w"))
       .select(col("url") +: col("warc_ts") +:
@@ -221,7 +270,13 @@ object Fingerprints {
     *     keep the earliest row per lower(url) (discovery order ->
     *     warc_ts, url). */
   def dropCaseDuplicateUrls(pages: DataFrame): DataFrame =
-    urlDedup(pages, caseRule = true)
+    urlDedup(pages, caseRule = true, eagerKeys = false)
+
+  /** Eager-keys variant of [[dropCaseDuplicateUrls]] — see
+    * [[dropRecrawlDuplicateUrlsEager]]; used by the pipeline fingerprint
+    * stage, whose first downstream action fans out concurrently. */
+  private[graft] def dropCaseDuplicateUrlsEager(pages: DataFrame): DataFrame =
+    urlDedup(pages, caseRule = true, eagerKeys = true)
 
   /** The fingerprint stage — one narrow select over the native
     * [[graft.functions.PageFingerprint]] expression (whole-stage codegen, no
@@ -229,7 +284,7 @@ object Fingerprints {
     * expressions. Column set identical to [[SignatureRow]] (pinned by
     * FingerprintExprSpec against the typed path). */
   def fromPages(pages: DataFrame, cfg: GraftConfig): DataFrame =
-    fromPagesPreDeduped(dropCaseDuplicateUrls(pages), cfg)
+    fromPagesPreDeduped(dropCaseDuplicateUrlsEager(pages), cfg)
 
   /** [[fromPages]] minus the case-dedup window, for callers whose input is
     * ALREADY deduped (Resume runs dropCaseDuplicateUrls before its cheap

@@ -48,8 +48,31 @@ object Pipeline {
       val tFingerprint = (System.nanoTime() - t0) / 1000000L
       downstreamProfiled(sigs, nSigs, tFingerprint, pages, cfg, persistLevel)
     } else {
+      // Partitioning diet for the persisted signature frame: callers hand in
+      // page sources at straggler-smoothing granularity (the bench uses
+      // 8 x cores for the skewed synthesis map), but every downstream
+      // consumer of the CACHED signatures re-pays that task count per scan —
+      // at 60k docs that is 256 tasks of ~230 rows each, several times, and
+      // cached scans get no AQE coalescing. Cap at 2 x defaultParallelism
+      // (scale-adaptive: derived from the session, never a constant), only
+      // ever shrinking. coalesce is narrow — the fingerprint map fuses into
+      // the coalesced tasks, each reading several cached page partitions.
+      val spark1 = pages.sparkSession
+      val targetParts = 2 * spark1.sparkContext.defaultParallelism
+      val scanned2 =
+        if (scanned.rdd.getNumPartitions > targetParts) scanned.coalesce(targetParts)
+        else scanned
       val sigs = Fingerprints.pruneForMode(
-        Fingerprints.fromPages(scanned, cfg).toDF(), cfg).persist(persistLevel)
+        Fingerprints.fromPages(scanned2, cfg).toDF(), cfg).persist(persistLevel)
+      // Materialize the signature cache ONCE before the downstream fan-out
+      // (guide §2.4 / the bnds.count() discipline in Candidates): the first
+      // action below it (the dictionary sort) fans out into ~8 concurrent
+      // AQE stage jobs — dedup-key aggregate, anti-join/collapse branches,
+      // exact-group aggregate, member/rep joins — and concurrent first touch
+      // of an UNPOPULATED cache races: each stage job re-ran the full
+      // fingerprint expression over the corpus (measured as an 8-job ladder
+      // owning 20.1 s of a 39 s 60k-doc run; one populate pass costs ~2 s).
+      labeled(sigs.sparkSession, "graft: fingerprint materialize") { sigs.count() }
       downstream(sigs, pages, cfg, persistLevel)
     }
   }
@@ -299,7 +322,7 @@ object Pipeline {
         newUrls.unpersist(false); staleUrls.unpersist(false)
         if (!(seedUrls eq newUrls)) seedUrls.unpersist(false)
         delta.unpersist(false); members.unpersist(false)
-        Candidates.cleanupCaches()
+        Candidates.cleanupCaches(); Fingerprints.cleanupCaches()
         (res, inc, state)
     }
   }
@@ -317,6 +340,16 @@ object Pipeline {
     * union-find -> keeper election. `pairs` and `clusters` come back
     * MATERIALIZED and lineage-truncated (see the checkpoint note below);
     * `signatures` stays a lazy persisted frame. */
+  /** Label the jobs of `body` in the Spark UI / listeners (guide §1.5);
+    * restores the caller's description so Bench sweep labels survive. */
+  private[graft] def labeled[T](spark: org.apache.spark.sql.SparkSession,
+                                desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   private def downstream(sigs: DataFrame, pages: DataFrame, cfg: GraftConfig,
                          persistLevel: StorageLevel,
                          pre: Option[ExactGroups] = None): Result = {
@@ -335,14 +368,17 @@ object Pipeline {
     // checkpoint materializes single-threadedly by construction. On a real
     // cluster the durable equivalent is writing pairs/clusters to the store
     // and reading them back (localCheckpoint is lost on executor failure).
-    val pairs = ps0.pairs.localCheckpoint()
+    val spark0 = sigs.sparkSession
+    val pairs = labeled(spark0, "graft: pairs checkpoint") { ps0.pairs.localCheckpoint() }
     val ps = ps0.copy(pairs = pairs)
-    val clusters = clusterStage(ps, persistLevel).localCheckpoint()
+    val clusters = labeled(spark0, "graft: clustering") {
+      clusterStage(ps, persistLevel).localCheckpoint()
+    }
     // pairs and clusters are now LogicalRDD leaves: nothing references the
     // candidate layer's internal caches (band relation, slim projection)
     // any more — release them, or an incremental chain accumulates one band
     // relation per increment. members likewise only fed clusterStage.
-    Candidates.cleanupCaches()
+    Candidates.cleanupCaches(); Fingerprints.cleanupCaches()
     ps.members.unpersist(false)
 
     // one driver job for every remaining run metric (S14): per-frame
@@ -423,7 +459,7 @@ object Pipeline {
     // candidate layer's registered persists and the members frame can go —
     // without this, profiled runs pinned them for the session lifetime (or
     // until an unrelated later run's cleanup yanked them mid-consumer)
-    Candidates.cleanupCaches()
+    Candidates.cleanupCaches(); Fingerprints.cleanupCaches()
     ps.members.unpersist(false)
 
     Result(sigs, ps.rejects, ps.pairs, clusters, metrics)

@@ -46,7 +46,7 @@ object Resume {
     // changes the cross-increment case election — dropping them here made
     // the surviving variant depend on batch boundaries (round-5 review).
     // The live view below applies the case rule across everything committed.
-    val withId = Fingerprints.dropRecrawlDuplicateUrls(pages)
+    val withId = Fingerprints.dropRecrawlDuplicateUrlsEager(pages)
       .withColumn("content_id", contentIdCol)
     val total = withId.count()
     val firstRun = store.isEmpty
