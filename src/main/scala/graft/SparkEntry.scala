@@ -35,9 +35,30 @@ object SparkEntry {
   /** The webtext queries share one pipeline run per (scale dir, mode). */
   private val pipelineCache =
     scala.collection.concurrent.TrieMap.empty[String, Pipeline.Result]
+
+  /** Session-adaptive synthesis parallelism: the historic constant 16 left
+    * half the cores idle through the narrow synthesis+fingerprint chain on
+    * local[32]. Partitioning does not affect results — Corpus.page is a pure
+    * function of the row index and the pairs table is partition-invariant
+    * (SURVEY §5.7, pinned by the 2..32-core invariance evidence). */
+  private def corpusParts(s: SparkSession): Int =
+    math.max(16, 2 * s.sparkContext.defaultParallelism)
+
+  /** Synthesize + persist the corpus for the duration of one pipeline build
+    * (round-6 guide §5: the pipeline consumes `pages` from several plan
+    * branches — url-dedup keys/clean/collapse, the substring text joins —
+    * and unpersisted, every branch re-ran the ~ms/doc synthesis map).
+    * Released right after the build: pairs/clusters are checkpoint leaves
+    * and signatures are persisted in their own right by then. */
+  private def withPages[T](s: SparkSession, n: Long)(body: DataFrame => T): T = {
+    val pages = CorpusSpark.pages(s, n, corpusParts(s), cfg.seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(pages) finally { pages.unpersist(false); () }
+  }
+
   private def pipelineFor(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d,
-      Pipeline.run(CorpusSpark.pages(s, corpusN(d), 16, cfg.seed), cfg))
+      withPages(s, corpusN(d))(p => Pipeline.run(p, cfg)))
 
   /** Same corpus under the exact-verify mode (the reference's _SSIM mode,
     * prefs.h:14; kernel comparison.cpp:141-147) — F9/F10/V1-V3 get their own
@@ -153,7 +174,7 @@ object SparkEntry {
   private val cfgExact = cfg.copy(exactVerify = true)
   private def pipelineExactFor(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d + "!exact",
-      Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgExact))
+      withPages(s, modeCorpusN(d))(p => Pipeline.run(p, cfgExact)))
 
   /** The v=70 reverified pairs frame, computed once per scale dir and shared
     * by q_rethreshold_exact_low and the wt_pairs_exact_low aux export — the
@@ -176,7 +197,7 @@ object SparkEntry {
   private val cfgSub = cfg.copy(substringPass = true)
   private def pipelineSubFor(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d + "!sub",
-      Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgSub))
+      withPages(s, modeCorpusN(d))(p => Pipeline.run(p, cfgSub)))
 
   /** Same corpus under a GRID sampling mode (thumbnail.h:6-26 — "2x2"
     * captures at 16/40/56/80% and fingerprints the union as one slot, the
@@ -185,7 +206,7 @@ object SparkEntry {
   private val cfgGrid = cfg.copy(samplingMode = "2x2")
   private def pipelineGridFor(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d + "!grid",
-      Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgGrid))
+      withPages(s, modeCorpusN(d))(p => Pipeline.run(p, cfgGrid)))
 
   /** The WIDEST grid mode (4x3 — 12 windows, thumbnail.h:20-26): stresses the
     * window-union dedup at the mode family's extreme; same oracle shape as
@@ -193,7 +214,7 @@ object SparkEntry {
   private val cfgGrid43 = cfg.copy(samplingMode = "4x3")
   private def pipelineGrid43For(s: SparkSession, d: String): Pipeline.Result =
     pipelineCache.getOrElseUpdate(d + "!grid43",
-      Pipeline.run(CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed), cfgGrid43))
+      withPages(s, modeCorpusN(d))(p => Pipeline.run(p, cfgGrid43)))
 
   /** §2.10 incremental re-cluster, scoped to affected components: base run
     * over the corpus' 80% prefix, then ONE increment to the full corpus via
@@ -210,12 +231,14 @@ object SparkEntry {
       val store = graft.store.IcebergShaped.table(
         java.nio.file.Files.createTempDirectory("graft-incr-store").toString)
       val n = corpusN(d)
-      val base = CorpusSpark.pages(s, n * 4 / 5, 16, cfg.seed)
-      val full = CorpusSpark.pages(s, n, 16, cfg.seed)
-      val (_, _, st1) = Pipeline.runIncrementalScoped(base, store, None, cfg)
-      val (r2, inc2, _) = Pipeline.runIncrementalScoped(full, store, Some(st1), cfg)
-      require(inc2.skipped > 0L, "increment must resume from the store")
-      r2
+      withPages(s, n * 4 / 5) { base =>
+        withPages(s, n) { full =>
+          val (_, _, st1) = Pipeline.runIncrementalScoped(base, store, None, cfg)
+          val (r2, inc2, _) = Pipeline.runIncrementalScoped(full, store, Some(st1), cfg)
+          require(inc2.skipped > 0L, "increment must resume from the store")
+          r2
+        }
+      }
     })
 
   // declared BEFORE configFpVariants on purpose: the variants reference it,
@@ -251,7 +274,7 @@ object SparkEntry {
       import s.implicits._
       val cfgCap = cfg.copy(maxStoredShinglesPerSlot = sigCapTestCap)
       val cfgUncapped = cfg.copy(maxStoredShinglesPerSlot = Int.MaxValue)
-      val out = CorpusSpark.pages(s, modeCorpusN(d), 16, cfg.seed)
+      val out = CorpusSpark.pages(s, modeCorpusN(d), corpusParts(s), cfg.seed)
         .select("url", "warc_ts", "html", "text", "lang")
         .as[(String, java.sql.Timestamp, Array[Byte], String, String)]
         .mapPartitions { it =>
