@@ -157,8 +157,19 @@ object Candidates {
     * north-rule "salted keys for skewed buckets". AQE skew-join remains on as
     * backstop for moderately hot keys.
     */
+  /** @param prebuiltBands delta-mode only (round-6, VERDICT r5 #1): the band
+    *   relation (url, band_id, key) read back from the store instead of
+    *   re-exploded from the full rep set — the store carries it between
+    *   increments, so the per-increment full-corpus band EXPLODE (and the
+    *   signature-payload read feeding it) is gone; only NEW reps' bands are
+    *   computed per increment (by the caller) and unioned in. Rows must equal
+    *   what [[bandKeysByUrl]] over the current rep set would emit (bands are
+    *   a pure function of the rep row — the caller maintains the store by
+    *   appending new reps' bands and dropping stale reps' rows). Ignored on
+    *   the one-shot path. */
   def candidatePairs(reps: DataFrame, cfg: GraftConfig,
-                     newUrls: Option[DataFrame] = None): DataFrame = {
+                     newUrls: Option[DataFrame] = None,
+                     prebuiltBands: Option[DataFrame] = None): DataFrame = {
     // dictionary-encode urls to dense order-preserving longs for the whole
     // candidate layer: every shuffle from here to pair join-back carries an
     // 8-byte id instead of the url string (the largest measured bandwidth
@@ -218,8 +229,14 @@ object Candidates {
     // the band relation feeds the key-count pass, both sides of the light
     // self-join and both sides of the heavy triangle join — cache it once
     // rather than re-exploding 6x (the pipeline releases it via
-    // cleanupCaches once its results are checkpointed)
-    val bnds = registerPersist(bands(repSlim, cfg))
+    // cleanupCaches once its results are checkpointed). In delta mode a
+    // store-backed relation replaces the explode when provided (see
+    // prebuiltBands scaladoc).
+    val bnds = registerPersist(prebuiltBands match {
+      case Some(pb) if delta =>
+        pb.select(col("url").as("id"), col("band_id"), col("key"))
+      case _ => bands(repSlim, cfg)
+    })
     // materialize the cache BEFORE its three join consumers: AQE runs their
     // query stages as concurrent jobs, and concurrent first-touch of an
     // unpopulated cache races — each job recomputes the full band explode

@@ -194,10 +194,30 @@ object Pipeline {
     val valid = eg.valid
     val rejects = eg.rejects
 
+    // Band-relation persistence between increments (round-6; r5 VERDICT #1,
+    // the reference's read-before-compute cache protocol applied to the
+    // candidate layer, db.cpp:50-69 analog): each generation commits the
+    // band rows of its rep set to a sibling store table; the NEXT increment
+    // reads them back, drops stale reps' rows, and only explodes the NEW
+    // reps' bands — candidate generation no longer re-derives the full
+    // band relation from the full signature payload every increment.
+    val bandsTable = graft.store.IcebergShaped.table(store.root + "/bands")
+    def bandRowsOf(repFrame: DataFrame): DataFrame =
+      Candidates.bandKeysByUrl(repFrame, cfg)
+        .withColumn("part_id",
+          pmod(xxhash64(col("url")), lit(cfg.storeParts)).cast("int"))
+        .withColumn("config_fp", lit(cfg.configFp))
+
     prev match {
       case None =>
         val res = downstream(sigs, pages, cfg, persistLevel, Some(eg))
-        val state = IncState(reps.localCheckpoint(),
+        val repsCk0 = reps.localCheckpoint()
+        // first-generation band commit: reps are persisted+materialized by
+        // downstream() at this point, so this is one slim explode + write
+        labeled(sigs.sparkSession, "graft: band store commit") {
+          bandsTable.commit(bandRowsOf(repsCk0), cfg.configFp, "overwrite")
+        }
+        val state = IncState(repsCk0,
           res.pairs.drop("id_a", "id_b").localCheckpoint(),
           res.clusters.join(reps.select("url"), Seq("url"), "left_semi")
             .select(col("url"), col("cluster_id")).localCheckpoint(),
@@ -230,6 +250,31 @@ object Pipeline {
         val newUrls = repIdent.except(prevIdent).select("url").persist(persistLevel)
         val staleUrls = prevIdent.except(repIdent).select("url").persist(persistLevel)
 
+        // Current-generation band relation, store-backed: the previous
+        // generation's committed rows minus stale reps, plus a fresh explode
+        // of the NEW reps only — row-identical to a full re-explode (bands
+        // are a pure function of the rep row; unchanged (url, content_id)
+        // means an unchanged row). Falls back to the full explode if the
+        // band table is missing (state built by an older generation of this
+        // code or a wiped sibling dir).
+        val storedBandsFull =
+          if (bandsTable.isEmpty) None
+          else Some(bandsTable.read(sigs.sparkSession))
+        val storedBands = storedBandsFull.map(
+          _.filter(col("config_fp") === cfg.configFp)
+            .select(col("url"), col("band_id"), col("key")))
+        val hasNew = !newUrls.isEmpty
+        val hasStale = !staleUrls.isEmpty
+        val newBandRows =
+          if (hasNew) bandRowsOf(repsCk.join(newUrls, Seq("url"), "left_semi"))
+            .persist(persistLevel)
+          else null
+        val bndsAll = storedBands.map { sb =>
+          val live = sb.join(staleUrls, Seq("url"), "left_anti")
+          if (hasNew) live.unionByName(newBandRows.select("url", "band_id", "key"))
+          else live
+        }
+
         // stale-key expansion (round-5 review): keptPrev below drops EVERY
         // previous pair with a stale endpoint, but under star routing those
         // pairs can BE a heavy group's connective topology (its hub links, a
@@ -237,24 +282,26 @@ object Pipeline {
         // delta's touched-key detection, which only sees NEW reps' keys. A
         // re-crawled hub therefore fragmented its cluster vs one-shot. Seed
         // the delta new-side with the CURRENT members of every key a stale
-        // rep used to emit (derived from the previous generation's
-        // checkpointed rep rows): those groups regenerate their full
-        // topology, and keptPrev's now-duplicate rows are anti-joined away.
-        // Costs one band explode over the current rep set, only on
-        // increments that actually contain stale reps.
+        // rep used to emit — read from the committed band rows (no re-explode
+        // of the previous generation's reps), with the full-explode fallback
+        // when the band table is absent. Runs only on increments that
+        // actually contain stale reps.
         val seedUrls =
-          if (staleUrls.isEmpty) newUrls
+          if (!hasStale) newUrls
           else {
-            val staleKeys = Candidates.bandKeysByUrl(
-              st.reps.join(staleUrls, Seq("url"), "left_semi"), cfg)
+            val staleKeys = storedBands
+              .map(_.join(staleUrls, Seq("url"), "left_semi"))
+              .getOrElse(Candidates.bandKeysByUrl(
+                st.reps.join(staleUrls, Seq("url"), "left_semi"), cfg))
               .select("band_id", "key").distinct()
-            val coMembers = Candidates.bandKeysByUrl(repsCk, cfg)
+            val coMembers = bndsAll
+              .getOrElse(Candidates.bandKeysByUrl(repsCk, cfg))
               .join(staleKeys, Seq("band_id", "key"), "left_semi")
               .select("url").distinct()
             newUrls.unionByName(coMembers).distinct().persist(persistLevel)
           }
 
-        val cand = Candidates.candidatePairs(repsCk, cfg, Some(seedUrls))
+        val cand = Candidates.candidatePairs(repsCk, cfg, Some(seedUrls), bndsAll)
         val scoredBase = Pairs.score(cand, cfg)
         val scoredVerified =
           if (cfg.exactVerify) Pairs.exactVerify(scoredBase, repsCk, cfg) else scoredBase
@@ -319,6 +366,28 @@ object Pipeline {
         // via state.retained): the increment-local caches and the candidate
         // layer's internals are released here, keeping a long incremental
         // chain's cache footprint O(one increment)
+        // Band-table maintenance for the NEXT generation: append-only on the
+        // common (no-stale) path; a stale increment compacts by committing
+        // the already-computed live ∪ new rows (no re-explode); a missing
+        // table rebuilds from the current rep set (fallback only).
+        labeled(sigs.sparkSession, "graft: band store update") {
+          storedBandsFull match {
+            case None =>
+              bandsTable.commit(bandRowsOf(repsCk), cfg.configFp, "overwrite")
+            case Some(all) if hasStale =>
+              val staleThis = staleUrls.withColumn("config_fp", lit(cfg.configFp))
+              val liveAll = all.join(staleThis, Seq("url", "config_fp"), "left_anti")
+              val frame =
+                if (hasNew) liveAll.unionByName(
+                  newBandRows.select(all.columns.map(col): _*))
+                else liveAll
+              bandsTable.commit(frame, cfg.configFp, "overwrite")
+            case Some(_) if hasNew =>
+              bandsTable.commit(newBandRows, cfg.configFp, "append")
+            case Some(_) => () // no rep-set change: table already current
+          }
+        }
+        if (newBandRows != null) newBandRows.unpersist(false)
         newUrls.unpersist(false); staleUrls.unpersist(false)
         if (!(seedUrls eq newUrls)) seedUrls.unpersist(false)
         delta.unpersist(false); members.unpersist(false)
