@@ -85,7 +85,8 @@ object BenchExtra {
       case "sub-trace" =>
         val n = args.lift(1).map(_.toLong).getOrElse(8000L)
         val cfgSub = GraftConfig(substringPass = true)
-        val pages = CorpusSpark.pages(spark, n, 16, 42L)
+        val pages = CorpusSpark.pages(spark, n, 2 * cpus.toInt, 42L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val res = Pipeline.run(pages, cfgSub)
         spark.sparkContext.setJobDescription("clusters count")
         System.err.println(s"[extra] clusters=${res.clusters.count()}")

@@ -233,8 +233,11 @@ object Pairs {
     // multi-row url would fan every pair touching it into N rows with
     // possibly contradictory verdicts. A bare (url, text) source without
     // warc_ts is taken as already one-row-per-url.
+    // eager-keys dedup: substringPass runs from eager contexts (downstream
+    // post-checkpoint, the scoped increment) where materializing the shared
+    // key aggregate up front avoids the concurrent-stage re-scan ladder
     val src =
-      if (pages.columns.contains("warc_ts")) Fingerprints.dropCaseDuplicateUrls(pages)
+      if (pages.columns.contains("warc_ts")) Fingerprints.dropCaseDuplicateUrlsEager(pages)
       else pages
     val txtA = src.select(col("url").as("url_a"), col("text").as("text_a"))
     val txtB = src.select(col("url").as("url_b"), col("text").as("text_b"))

@@ -207,6 +207,11 @@ object Pipeline {
         .withColumn("part_id",
           pmod(xxhash64(col("url")), lit(cfg.storeParts)).cast("int"))
         .withColumn("config_fp", lit(cfg.configFp))
+        // cluster by the partition column before the partitionBy write so
+        // each part_id lands as ONE file instead of one per write task
+        // (guide §6 output sizing — the explode otherwise fans 32 dirs x
+        // n-task small files)
+        .repartition(col("part_id"))
 
     prev match {
       case None =>
@@ -437,8 +442,20 @@ object Pipeline {
     // checkpoint materializes single-threadedly by construction. On a real
     // cluster the durable equivalent is writing pairs/clusters to the store
     // and reading them back (localCheckpoint is lost on executor failure).
+    //
+    // The substring pass is applied AFTER the first checkpoint (round-6):
+    // planned inline, its text joins + LCS kernel sat on top of the full
+    // candidate tree and the planner re-walked that tree per text side —
+    // measured as a ~10 s zero-job driver gap before the checkpoint at 8k
+    // docs. Over a LogicalRDD leaf the substring plan is O(1); one extra
+    // (pair-volume) checkpoint materialization buys it.
     val spark0 = sigs.sparkSession
-    val pairs = labeled(spark0, "graft: pairs checkpoint") { ps0.pairs.localCheckpoint() }
+    val pairsBase = labeled(spark0, "graft: pairs checkpoint") { ps0.pairs.localCheckpoint() }
+    val pairs =
+      if (!cfg.substringPass) pairsBase
+      else labeled(spark0, "graft: substring pass") {
+        Pairs.substringPass(pairsBase, pages, cfg).localCheckpoint()
+      }
     val ps = ps0.copy(pairs = pairs)
     val clusters = labeled(spark0, "graft: clustering") {
       clusterStage(ps, persistLevel).localCheckpoint()
@@ -487,7 +504,10 @@ object Pipeline {
       ms
     }
 
-    val ps = pairStage(sigs, pages, cfg, persistLevel)
+    val ps0 = pairStage(sigs, pages, cfg, persistLevel)
+    val ps = ps0.copy(pairs =
+      if (cfg.substringPass) Pairs.substringPass(ps0.pairs, pages, cfg)
+      else ps0.pairs)
     ps.pairs.persist(persistLevel)
     val repCount = ps.reps.count()
     val tExactGroup = phaseMs()
@@ -570,18 +590,17 @@ object Pipeline {
     val members = eg.members
     val reps = eg.reps
 
-    // candidates + scoring (representative level)
+    // candidates + scoring (representative level). The substring pass is NOT
+    // applied here (round-6): downstream() runs it over the checkpointed
+    // pairs leaf so its text-join plan stays O(1) — see the checkpoint note.
     val cand = Candidates.candidatePairs(reps, cfg)
     val scoredBase = Pairs.score(cand, cfg)
     val scoredVerified =
       if (cfg.exactVerify) Pairs.exactVerify(scoredBase, reps, cfg) else scoredBase
-    val scored =
-      if (cfg.substringPass) Pairs.substringPass(scoredVerified, pages, cfg)
-      else scoredVerified
     // NOT persisted/checkpointed here: downstream() truncates lineage with
     // an eager localCheckpoint, downstreamProfiled() persists lazily so its
     // phase timers still attribute the candidate work to the right marker
-    PairStage(rejects, valid, members, reps, scored)
+    PairStage(rejects, valid, members, reps, scoredVerified)
   }
 
   /** Clustering half: union-find (EAGER — iterative), member expansion,
