@@ -92,6 +92,16 @@ object BenchExtra {
         System.err.println(s"[extra] clusters=${res.clusters.count()}")
         spark.sparkContext.setJobDescription("metrics collect")
         res.metrics.collect().foreach(r => System.err.println(s"[extra] ${r.getString(0)}=${r.getLong(1)}"))
+      case "exact-trace" =>
+        val n = args.lift(1).map(_.toLong).getOrElse(8000L)
+        val cfgX = GraftConfig(exactVerify = true)
+        val pages = CorpusSpark.pages(spark, n, 2 * cpus.toInt, 42L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val res = Pipeline.run(pages, cfgX)
+        spark.sparkContext.setJobDescription("clusters count")
+        System.err.println(s"[extra] clusters=${res.clusters.count()}")
+        spark.sparkContext.setJobDescription("metrics collect")
+        res.metrics.collect().foreach(r => System.err.println(s"[extra] ${r.getString(0)}=${r.getLong(1)}"))
       case "incr-trace" =>
         val n = args.lift(1).map(_.toLong).getOrElse(20000L)
         val store = graft.store.IcebergShaped.table(

@@ -443,18 +443,24 @@ object Pipeline {
     // cluster the durable equivalent is writing pairs/clusters to the store
     // and reading them back (localCheckpoint is lost on executor failure).
     //
-    // The substring pass is applied AFTER the first checkpoint (round-6):
-    // planned inline, its text joins + LCS kernel sat on top of the full
-    // candidate tree and the planner re-walked that tree per text side —
-    // measured as a ~10 s zero-job driver gap before the checkpoint at 8k
-    // docs. Over a LogicalRDD leaf the substring plan is O(1); one extra
-    // (pair-volume) checkpoint materialization buys it.
+    // The exact-verify and substring passes are applied AFTER the first
+    // checkpoint (round-6): planned inline, each pass's gated/untouched
+    // union referenced the full candidate tree TWICE (and the substring
+    // text joins re-walked it per side) — measured as 8-10 s ZERO-JOB
+    // driver planning gaps before the pairs checkpoint at 8k docs. Over a
+    // LogicalRDD leaf each pass's plan is O(1); one extra pair-volume
+    // checkpoint materialization per enabled pass buys it.
     val spark0 = sigs.sparkSession
     val pairsBase = labeled(spark0, "graft: pairs checkpoint") { ps0.pairs.localCheckpoint() }
+    val pairsVerified =
+      if (!cfg.exactVerify) pairsBase
+      else labeled(spark0, "graft: exact verify") {
+        Pairs.exactVerify(pairsBase, ps0.reps, cfg).localCheckpoint()
+      }
     val pairs =
-      if (!cfg.substringPass) pairsBase
+      if (!cfg.substringPass) pairsVerified
       else labeled(spark0, "graft: substring pass") {
-        Pairs.substringPass(pairsBase, pages, cfg).localCheckpoint()
+        Pairs.substringPass(pairsVerified, pages, cfg).localCheckpoint()
       }
     val ps = ps0.copy(pairs = pairs)
     val clusters = labeled(spark0, "graft: clustering") {
@@ -505,9 +511,11 @@ object Pipeline {
     }
 
     val ps0 = pairStage(sigs, pages, cfg, persistLevel)
+    val withVerify =
+      if (cfg.exactVerify) Pairs.exactVerify(ps0.pairs, ps0.reps, cfg) else ps0.pairs
     val ps = ps0.copy(pairs =
-      if (cfg.substringPass) Pairs.substringPass(ps0.pairs, pages, cfg)
-      else ps0.pairs)
+      if (cfg.substringPass) Pairs.substringPass(withVerify, pages, cfg)
+      else withVerify)
     ps.pairs.persist(persistLevel)
     val repCount = ps.reps.count()
     val tExactGroup = phaseMs()
@@ -590,17 +598,16 @@ object Pipeline {
     val members = eg.members
     val reps = eg.reps
 
-    // candidates + scoring (representative level). The substring pass is NOT
-    // applied here (round-6): downstream() runs it over the checkpointed
-    // pairs leaf so its text-join plan stays O(1) — see the checkpoint note.
+    // candidates + scoring (representative level). The exact-verify and
+    // substring passes are NOT applied here (round-6): downstream() runs
+    // them over the checkpointed pairs leaf so their plans stay O(1) — see
+    // the checkpoint note there.
     val cand = Candidates.candidatePairs(reps, cfg)
     val scoredBase = Pairs.score(cand, cfg)
-    val scoredVerified =
-      if (cfg.exactVerify) Pairs.exactVerify(scoredBase, reps, cfg) else scoredBase
     // NOT persisted/checkpointed here: downstream() truncates lineage with
     // an eager localCheckpoint, downstreamProfiled() persists lazily so its
     // phase timers still attribute the candidate work to the right marker
-    PairStage(rejects, valid, members, reps, scoredVerified)
+    PairStage(rejects, valid, members, reps, scoredBase)
   }
 
   /** Clustering half: union-find (EAGER — iterative), member expansion,
