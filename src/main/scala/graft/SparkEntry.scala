@@ -847,7 +847,8 @@ object SparkEntry {
     val ivfCents = AnnOps.ivfTrain(t(spark, sfDir, "embeddings"))
     AnnOps.ivfAssign(t(spark, sfDir, "embeddings"), ivfCents)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_ivf_cells")
-    AnnOps.ivfProbes(t(spark, sfDir, "embeddings"), ivfCents, nQueries = 10, nProbes = 4)
+    AnnOps.ivfProbes(t(spark, sfDir, "embeddings"), ivfCents,
+      nQueries = AnnOps.IvfNQueries, nProbes = AnnOps.IvfNProbes)
       .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ann_ivf_probes")
   }
 

@@ -28,6 +28,17 @@ import graft.core.XXH64
   */
 object AnnOps {
 
+  /** Shared IVF parameters (r5 ADVICE #4): SparkEntry.auxExport re-trains
+    * the quantizer for the oracle export with the SAME parameters as
+    * q_ann_ivf's ivfTopK run — one constant set keeps the two sides from
+    * silently desyncing when a default changes. */
+  val IvfNCells = 16
+  val IvfIters = 3
+  val IvfSeed = 42L
+  val IvfMaxTrain = 100000
+  val IvfNQueries = 10
+  val IvfNProbes = 4
+
   // private[ops]: DedupOps.embeddingCosineDup shares these (one definition
   // of norm/cosine/probing for every embedding operator — a fix to one must
   // reach all)
@@ -147,11 +158,19 @@ object AnnOps {
     * by lower cell id. One map-only pass — the model (nCells x dim doubles)
     * rides a broadcast, so assignment never shuffles the corpus. */
   private def cellRank(vecs: DataFrame, cents: Array[Array[Double]],
-                       nProbes: Int): DataFrame = {
+                       nProbes: Int): DataFrame = cellRankBc(vecs, cents, nProbes)._1
+
+  /** [[cellRank]] exposing the model broadcast so call sites that fully
+    * materialize the result (the ivfTrain loop) can destroy it — round-5
+    * ADVICE #3: each training iteration leaked one model broadcast per
+    * call in long-lived sessions. Call sites returning lazy frames (ivfTopK
+    * assignment/probes) must NOT destroy theirs. */
+  private def cellRankBc(vecs: DataFrame, cents: Array[Array[Double]],
+                         nProbes: Int): (DataFrame, org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    val out = vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         val cn = cs.map { c =>
@@ -175,6 +194,7 @@ object AnnOps {
             .take(math.min(nProbes, cs.length)).map(c => (id, c))
         }
       }.toDF("vec_id", "cell")
+    (out, bc)
   }
 
   /** Deterministic spherical k-means coarse quantizer. Bit-reproducible
@@ -186,8 +206,8 @@ object AnnOps {
     * distributed mean — is pinned. Fixed `iters` rounds, no early stop.
     * Cells that lose all members keep their previous centroid. The model
     * is tiny (nCells x dim doubles) and lives driver-side. */
-  def ivfTrain(emb: DataFrame, nCells: Int = 16, iters: Int = 3,
-               seed: Long = 42L, maxTrain: Int = 100000): Array[Array[Double]] = {
+  def ivfTrain(emb: DataFrame, nCells: Int = IvfNCells, iters: Int = IvfIters,
+               seed: Long = IvfSeed, maxTrain: Int = IvfMaxTrain): Array[Array[Double]] = {
     val train = emb
       .select(col("vec_id"), col("embedding"),
         xxhash64(col("vec_id"), lit(seed)).as("h"))
@@ -199,7 +219,7 @@ object AnnOps {
         .select("embedding").collect()
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
       for (_ <- 0 until iters) {
-        val asg = cellRank(train, cents, 1)
+        val (asg, bc) = cellRankBc(train, cents, 1)
         val sums = train.join(asg, Seq("vec_id"))
           .select(col("cell"), col("vec_id"),
             posexplode(col("embedding").cast("array<double>")))
@@ -209,9 +229,18 @@ object AnnOps {
             aggregate(array_sort(collect_list(struct(col("vec_id"), col("x")))),
               lit(0.0), (a, s) => a + s.getField("x")).as("sx"))
           .collect()
+        // the iteration's result is fully materialized — release the model
+        // broadcast now instead of leaking iters per invocation (r5 ADVICE)
+        bc.destroy()
         val next = cents.map(_.clone())
         sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) = r.getDouble(3) / r.getLong(2)
+          // dim bound (r5 ADVICE #1): hyperplaneSketch-style ragged inputs
+          // can carry more dims than the init centroids; skip out-of-range
+          // dims instead of throwing on the driver (cellRank's ranking
+          // already truncates the dot product to the shared range)
+          val cell = r.getInt(0); val dim = r.getInt(1)
+          if (dim < next(cell).length)
+            next(cell)(dim) = r.getDouble(3) / r.getLong(2)
         }
         cents = next
       }
@@ -225,7 +254,7 @@ object AnnOps {
 
   /** Per-query probe list: the nProbes nearest cells per query vector. */
   def ivfProbes(emb: DataFrame, cents: Array[Array[Double]],
-                nQueries: Int = 10, nProbes: Int = 4): DataFrame =
+                nQueries: Int = IvfNQueries, nProbes: Int = IvfNProbes): DataFrame =
     cellRank(emb.filter(col("vec_id") < nQueries), cents, nProbes)
       .toDF("query_id", "cell")
 
@@ -234,9 +263,10 @@ object AnnOps {
     * lists per query, and score only list members — cost ~ n_q x (probed
     * list sizes) instead of n_q x n. The candidate join is SLIM (ids +
     * cell keys); vectors join back at candidate volume in scoreAndRank. */
-  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = 10, nCells: Int = 16,
-              nProbes: Int = 4, iters: Int = 3, seed: Long = 42L,
-              maxTrain: Int = 100000): DataFrame = {
+  def ivfTopK(emb: DataFrame, k: Int = 5, nQueries: Int = IvfNQueries,
+              nCells: Int = IvfNCells, nProbes: Int = IvfNProbes,
+              iters: Int = IvfIters, seed: Long = IvfSeed,
+              maxTrain: Int = IvfMaxTrain): DataFrame = {
     val cents = ivfTrain(emb, nCells, iters, seed, maxTrain)
     val candIds = ivfProbes(emb, cents, nQueries, nProbes)
       .join(ivfAssign(emb, cents), "cell")

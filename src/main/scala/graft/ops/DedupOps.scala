@@ -254,10 +254,15 @@ object DedupOps {
     cand
       .join(sets.toDF("doc_id_a", "ng_a"), "doc_id_a")
       .join(sets.toDF("doc_id_b", "ng_b"), "doc_id_b")
+      // single-intersect gate (see ngramOverlapExact): integer-identical to
+      // inter*den >= union*num, but the optimizer's predicate push into the
+      // join condition evaluates array_intersect once per candidate, not
+      // twice
+      .filter(size(array_intersect(col("ng_a"), col("ng_b"))) * (jacDen + jacNum) >=
+        (size(col("ng_a")) + size(col("ng_b"))) * jacNum)
       .withColumn("inter_size", size(array_intersect(col("ng_a"), col("ng_b"))).cast("long"))
       .withColumn("union_size",
         (size(col("ng_a")) + size(col("ng_b"))).cast("long") - col("inter_size"))
-      .filter(col("inter_size") * jacDen >= col("union_size") * jacNum)
       .select("doc_id_a", "doc_id_b", "inter_size", "union_size")
       .orderBy("doc_id_a", "doc_id_b")
   }
@@ -276,8 +281,20 @@ object DedupOps {
     * same rule in ngramJaccard and embeddingCosineDup's blockCol path. */
   def ngramOverlapExact(docs: DataFrame, blockCol: String, n: Int = 3,
                         jacNum: Int = 1, jacDen: Int = 20): DataFrame = {
-    val sets = docs.select(col(blockCol).as("block"), col("doc_id"),
-      ngramSetCol(col("text"), n).as("ng"))
+    val spark = docs.sparkSession
+    // Round-6 (guide §2.5 input skew): the whole quadratic join ran as ONE
+    // task — the docs table is a single small parquet file, so the n-gram
+    // projection, the broadcast build, and the join's stream side all had
+    // one partition and 32 cores sat idle for the block-pairs × intersect
+    // work (measured 14.5 s single-task at sf0.1). Round-robin repartition
+    // of the RAW TEXT (before the array projection, so the shuffle carries
+    // ~300 B rows, not arrays) spreads everything downstream; deterministic
+    // under retries (sort-before-repartition, SPARK-23207) and
+    // result-invariant (output is totally ordered).
+    val streamParts = math.max(2, 2 * spark.sparkContext.defaultParallelism)
+    val sets = docs.select(col(blockCol).as("block"), col("doc_id"), col("text"))
+      .repartition(streamParts)
+      .select(col("block"), col("doc_id"), ngramSetCol(col("text"), n).as("ng"))
       // null text -> NULL set: drop before the all-pairs join (never a
       // proven duplicate; also keeps unknown-content rows out of the block's
       // quadratic pairing volume)
@@ -286,10 +303,16 @@ object DedupOps {
     val b = sets.toDF("block", "doc_id_b", "ng_b")
     a.join(b, "block")
       .filter(col("doc_id_a") < col("doc_id_b"))
+      // the selectivity gate references the intersection ONCE:
+      //   inter*den >= union*num  <=>  inter*(den+num) >= (|a|+|b|)*num
+      // (integer-exact, union = |a|+|b|-inter) — written with a single
+      // array_intersect so the optimizer's push into the join condition
+      // cannot double-evaluate the O(|set|) kernel per pair
+      .filter(size(array_intersect(col("ng_a"), col("ng_b"))) * (jacDen + jacNum) >=
+        (size(col("ng_a")) + size(col("ng_b"))) * jacNum)
       .withColumn("inter_size", size(array_intersect(col("ng_a"), col("ng_b"))).cast("long"))
       .withColumn("union_size",
         (size(col("ng_a")) + size(col("ng_b"))).cast("long") - col("inter_size"))
-      .filter(col("inter_size") * jacDen >= col("union_size") * jacNum)
       .select("block", "doc_id_a", "doc_id_b", "inter_size", "union_size")
       .orderBy("block", "doc_id_a", "doc_id_b")
   }
