@@ -149,15 +149,23 @@ object DocSignatures {
       val sampled: Array[Long] =
         if (spans.size == 1 && spans.head == ((0, n))) sh.hashesOf(th, 0, n)
         else {
-          val set = new java.util.TreeSet[java.lang.Long]()
-          spans.foreach { case (from, until) =>
-            sh.hashesOf(th, from, until).foreach(set.add(_))
+          // sorted-distinct union of the window sets via primitive
+          // concat+sort+dedupe (the boxed TreeSet union dominated the grid
+          // modes' per-doc kernel — round-6; values identical)
+          val parts = spans.map { case (from, until) => sh.hashesOf(th, from, until) }
+          val all = new Array[Long](parts.map(_.length).sum)
+          var o = 0
+          parts.foreach { p =>
+            System.arraycopy(p, 0, all, o, p.length); o += p.length
           }
-          val out = new Array[Long](set.size)
+          java.util.Arrays.sort(all)
+          var w = 0
           var i = 0
-          val it = set.iterator()
-          while (it.hasNext) { out(i) = it.next(); i += 1 }
-          out
+          while (i < all.length) {
+            if (w == 0 || all(w - 1) != all(i)) { all(w) = all(i); w += 1 }
+            i += 1
+          }
+          if (w == all.length) all else java.util.Arrays.copyOf(all, w)
         }
       // one slot: the stored-array signature IS the full signature when the
       // set fits under the cap — compute once, share both fields

@@ -221,29 +221,34 @@ object Candidates {
       (if (cfg.substringPass) Seq("ss_keys") else Nil)
     val repProj = reps
       .select(("url" +: (bandCols ++ Seq("text_len", "size"))).map(col): _*)
-    val repSlim = registerPersist(sortedUrls match {
-      case Some(su) => repProj.join(su.zipWithIndex().toDF("url", "id"), "url")
-      case None => repProj.withColumn("id", col("url"))
-    })
+    // EAGER localCheckpoint, not persist+count (round-6): repSlim and the
+    // band relation are referenced by ~6 join branches of the pairs plan,
+    // and although the CACHE deduplicates execution, the LOGICAL tree below
+    // each reference is re-analyzed per branch — measured as a multi-second
+    // zero-job driver gap before the pairs checkpoint. A checkpoint leaf
+    // makes each reference O(1) to plan, costs the same one materialization
+    // pass the count() already paid, and cannot race concurrent AQE stage
+    // jobs (it materializes before any consumer is planned). Blocks are
+    // freed by the ContextCleaner once the pipeline's checkpointed results
+    // drop the references.
+    val repSlim = Pipeline.labeled(spark, "graft: rep projection") {
+      (sortedUrls match {
+        case Some(su) => repProj.join(su.zipWithIndex().toDF("url", "id"), "url")
+        case None => repProj.withColumn("id", col("url"))
+      }).localCheckpoint()
+    }
 
     // the band relation feeds the key-count pass, both sides of the light
-    // self-join and both sides of the heavy triangle join — cache it once
-    // rather than re-exploding 6x (the pipeline releases it via
-    // cleanupCaches once its results are checkpointed). In delta mode a
+    // self-join and both sides of the heavy triangle join. In delta mode a
     // store-backed relation replaces the explode when provided (see
     // prebuiltBands scaladoc).
-    val bnds = registerPersist(prebuiltBands match {
-      case Some(pb) if delta =>
-        pb.select(col("url").as("id"), col("band_id"), col("key"))
-      case _ => bands(repSlim, cfg)
-    })
-    // materialize the cache BEFORE its three join consumers: AQE runs their
-    // query stages as concurrent jobs, and concurrent first-touch of an
-    // unpopulated cache races — each job recomputes the full band explode
-    // (and the fingerprint pipeline under it). One narrow count populates
-    // sigs/reps/repSlim/bnds exactly once; every consumer then reads cached
-    // blocks.
-    Pipeline.labeled(spark, "graft: band relation build") { bnds.count() }
+    val bnds = Pipeline.labeled(spark, "graft: band relation build") {
+      (prebuiltBands match {
+        case Some(pb) if delta =>
+          pb.select(col("url").as("id"), col("band_id"), col("key"))
+        case _ => bands(repSlim, cfg)
+      }).localCheckpoint()
+    }
     // sortedUrls (one-shot mode only) is released after the rawPairs match
     // below, once everything downstream of the dictionary is planned
 
@@ -263,9 +268,11 @@ object Candidates {
     // persisted: the frame feeds two consumers one-shot (light anti-join +
     // heavy semi-join) and three in delta mode — unpersisted, each action
     // re-ran the aggregation over the full band relation and re-broadcast it
-    val heavyKeys = registerPersist {
+    // same checkpoint-leaf discipline as bnds above (two one-shot consumers,
+    // three in delta mode)
+    val heavyKeys = Pipeline.labeled(spark, "graft: heavy-key detect") {
       val frac = cfg.heavyDetectSampleFrac
-      if (frac <= 0)
+      (if (frac <= 0)
         bnds.groupBy("band_id", "key").count()
           .filter(col("count") > cfg.heavyBandKeyCap)
           .select("band_id", "key")
@@ -277,13 +284,8 @@ object Candidates {
           .groupBy("band_id", "key").count()
           .filter(col("count") > cfg.heavyBandKeyCap * (cut.toDouble / m) / 2)
           .select("band_id", "key")
-      }
+      }).localCheckpoint()
     }
-    // materialize BEFORE the concurrent consumers, same discipline as
-    // bnds.count() above: AQE runs the anti/semi join stages as concurrent
-    // jobs, and a concurrent first touch of the unpopulated cache would make
-    // each re-run the aggregation — the cost the persist exists to remove
-    Pipeline.labeled(spark, "graft: heavy-key detect") { heavyKeys.count() }
 
     val light = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
 

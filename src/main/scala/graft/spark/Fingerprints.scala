@@ -215,7 +215,7 @@ object Fingerprints {
     // url holds exactly the (url, max warc_ts) key, so the slim winner set IS
     // the rule-1 output's key set and the case election never needs to touch
     // (or re-derive) the payload relation
-    val losers =
+    val losers0 =
       if (!caseRule) recrawlLosers
       else {
         val wCase = Window.partitionBy(lower(col("url")))
@@ -224,7 +224,21 @@ object Fingerprints {
           .filter(col("__rc") > 1).select("url", "warc_ts")
         recrawlLosers.union(caseLosers)
       }
-    val dupKeys = winners.filter(col("__copies") > 1).select("url", "warc_ts")
+    val dupKeys0 = winners.filter(col("__copies") > 1).select("url", "warc_ts")
+    // eager mode also pins the two (tiny) decision outputs in ONE job: each
+    // is broadcast from BOTH payload branches, and the broadcast builds
+    // re-ran the ranking windows per referencing copy otherwise
+    val (losers, dupKeys) =
+      if (!eagerKeys) (losers0, dupKeys0)
+      else {
+        val pinned = losers0.withColumn("__t", lit(0))
+          .unionByName(dupKeys0.withColumn("__t", lit(1)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        persistedFrames.add(pinned)
+        Pipeline.labeled(pages.sparkSession, "graft: url-dedup decisions") { pinned.count() }
+        (pinned.filter(col("__t") === 0).select("url", "warc_ts"),
+          pinned.filter(col("__t") === 1).select("url", "warc_ts"))
+      }
 
     // payload pass 1: both anti-joins chain inside one scan stage. The
     // broadcast hints are LOAD-BEARING (round-6 measurement): this dedup is

@@ -577,6 +577,10 @@ object Pipeline {
       .select(col("url"), col("reject_reason").as("reason"))
     val valid = sigs.filter(col("reject_reason").isNull)
     val groups = valid.groupBy("text_md5").agg(min("url").as("rep_url"))
+    // members has exactly ONE consumer on every path (the member-expansion
+    // join) — persisted MEMORY_AND_DISK anyway because callers unpersist it
+    // by contract, but at single-use the cache write is the only cost, so
+    // keep it cheap (the join inputs are the cached sigs either way)
     val members = valid.select(col("url"), col("text_md5"))
       .join(groups, "text_md5")
       .select(col("url"), col("rep_url"))
