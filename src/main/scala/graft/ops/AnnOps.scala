@@ -39,6 +39,17 @@ object AnnOps {
   val IvfNQueries = 10
   val IvfNProbes = 4
 
+  /** Spread a narrow input over the session's cores (round-6, guide §2.5
+    * input skew): the embeddings table is a single small parquet file, so
+    * every mapPartitions kernel (sketching, cell ranking) otherwise runs as
+    * ONE task. Round-robin repartition is result-invariant here — the
+    * kernels are pure per-row functions of deterministic seeded matrices —
+    * and deterministic under retries (sort-before-repartition). */
+  private def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   // private[ops]: DedupOps.embeddingCosineDup shares these (one definition
   // of norm/cosine/probing for every embedding operator — a fix to one must
   // reach all)
@@ -81,7 +92,7 @@ object AnnOps {
   def hyperplaneSketch(emb: DataFrame, nBits: Int = 16, seed: Long = 42L): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    balanced(emb.select(col("vec_id"), col("embedding"))).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         // The hyperplane component depends only on (bit, dim index, seed):
         // build the nBits x dim matrix ONCE per partition (lazily, sized from
@@ -170,7 +181,7 @@ object AnnOps {
     val spark = vecs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val out = vecs.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    val out = balanced(vecs.select(col("vec_id"), col("embedding"))).as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         val cn = cs.map { c =>
