@@ -7,7 +7,7 @@
 # controls hold. k is small (3 and 9) so both legs K-cap near each other.
 set -u
 cd "$(dirname "$0")/.."
-LOG=/tmp/r6b_pair600k.log
+LOG=/tmp/r6c_pair600k.log
 : > "$LOG"
 control() {
   local tag=$1
@@ -24,11 +24,11 @@ control() {
 }
 control pre
 echo "=== r6 2v8 steady-state pair, 600k docs, start $(date +%s) $(date +%T) ===" >> "$LOG"
-: > /tmp/r6b_600k_leg2.log; : > /tmp/r6b_600k_leg8.log
-./BENCH/scalebench2.sh 2 0-1 600000 3 2800 /tmp/r6b_600k_leg2.log &
+: > /tmp/r6c_600k_leg2.log; : > /tmp/r6c_600k_leg8.log
+./BENCH/scalebench2.sh 2 0-1 600000 5 3400 /tmp/r6c_600k_leg2.log &
 P2=$!
-./BENCH/scalebench2.sh 8 16-23 600000 9 2800 /tmp/r6b_600k_leg8.log &
+./BENCH/scalebench2.sh 8 16-23 600000 15 3400 /tmp/r6c_600k_leg8.log &
 wait $P2 2>/dev/null; wait 2>/dev/null
 control post
 echo "=== done $(date +%s) $(date +%T) ===" >> "$LOG"
-cat /tmp/r6b_600k_leg2.log /tmp/r6b_600k_leg8.log >> "$LOG"
+cat /tmp/r6c_600k_leg2.log /tmp/r6c_600k_leg8.log >> "$LOG"
