@@ -287,7 +287,16 @@ object Candidates {
       }).localCheckpoint()
     }
 
-    val light = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
+    // the common case has NO heavy keys (boilerplate bands only appear in
+    // skewed corpora): heavyKeys is a tiny eager leaf, so one O(1) probe
+    // skips the whole heavy branch — otherwise the empty-set plumbing still
+    // pays a full band-relation scan for the heavy slice plus the anti-join
+    // stream filter on every light row. Pair-set identical by construction
+    // (an empty heavy set routes nothing through either branch).
+    val noHeavy = heavyKeys.isEmpty
+    val light =
+      if (noHeavy) bnds
+      else bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
 
     /** Heavy-group pair generation over a (already heavy-key-restricted) band
       * relation — shared by the full self-join path and the incremental delta
@@ -367,8 +376,20 @@ object Candidates {
         val lightPairs = la.join(lb, Seq("band_id", "key"))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"), col("band_id"))
-        val heavyRows = bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
-        lightPairs.unionByName(heavyPairGen(heavyRows))
+        if (noHeavy) lightPairs
+        else {
+          // heavyPairGen references its input ~5x (hubs, hub join-back, path
+          // windows, bucket bounds); over the raw semi-join each reference
+          // re-scans the full band relation — a broadcast semi-join has no
+          // Exchange boundary, so nothing is reused across references. An
+          // eager leaf bounds that to ONE full scan; the materialized rows
+          // are heavy-group volume (the rows heavyPairGen processes anyway).
+          val heavyRows = Pipeline.labeled(spark, "graft: heavy rows slice") {
+            bnds.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_semi")
+              .localCheckpoint()
+          }
+          lightPairs.unionByName(heavyPairGen(heavyRows))
+        }
 
       case Some(nu) =>
         // INCREMENTAL delta: only pairs with >= 1 endpoint in `nu` (new or
@@ -391,8 +412,18 @@ object Candidates {
         // consumers (bndsNew, na/nb) that would each re-run nu's lineage.
         val newIds = registerPersist(nu.select(col("url").as("id")).distinct())
         newIds.count()
-        val bndsNew = bnds.join(newIds, Seq("id"), "left_semi")
-        val lightNew = bndsNew.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
+        // increment-sized slice of the band relation, referenced by three
+        // consumers (lightNew, touchedHeavy, and the heavy semi below) — as
+        // a lazy semi-join each reference re-scanned the FULL band relation
+        // (no Exchange under a broadcast semi-join => no reuse; measured as
+        // ~143 leaf re-scans / 371 task-s inside one 60k increment's delta
+        // materialization). One eager increment-sized leaf bounds that.
+        val bndsNew = Pipeline.labeled(spark, "graft: incr new-band slice") {
+          bnds.join(newIds, Seq("id"), "left_semi").localCheckpoint()
+        }
+        val lightNew =
+          if (noHeavy) bndsNew
+          else bndsNew.join(broadcast(heavyKeys), Seq("band_id", "key"), "left_anti")
         val lightDelta = light.withColumnRenamed("id", "id_x")
           .join(lightNew.withColumnRenamed("id", "id_y"), Seq("band_id", "key"))
           .filter(col("id_x") =!= col("id_y"))
@@ -411,22 +442,30 @@ object Candidates {
         // pairs, incremental-stable); star mode keeps the previous run's
         // old-old links — extra conservative edges inside a near-identical
         // group, cluster-equivalent in all but adversarial cases.
-        val touchedHeavy = heavyKeys
-          .join(bndsNew.select("band_id", "key").distinct(), Seq("band_id", "key"), "left_semi")
-        val heavyRows = bnds.join(broadcast(touchedHeavy), Seq("band_id", "key"), "left_semi")
-        // no explicit broadcast hint on the new-id flags: an explicit hint
-        // cannot be demoted at runtime, so a LARGE increment (the id set is
-        // increment-sized, not bounded) would OOM instead of falling back;
-        // the join keys are slim longs at topology volume, and AQE
-        // broadcasts the small-increment case on its own.
-        val na = newIds.select(col("id").as("id_a"), lit(true).as("__na"))
-        val nb = newIds.select(col("id").as("id_b"), lit(true).as("__nb"))
-        val heavyDelta = heavyPairGen(heavyRows)
-          .join(na, Seq("id_a"), "left")
-          .join(nb, Seq("id_b"), "left")
-          .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
-          .drop("__na", "__nb")
-        lightDelta.unionByName(heavyDelta)
+        if (noHeavy) lightDelta
+        else {
+          val touchedHeavy = heavyKeys
+            .join(bndsNew.select("band_id", "key").distinct(), Seq("band_id", "key"), "left_semi")
+          // same eager-leaf rationale as the one-shot heavyRows above: ~5
+          // references inside heavyPairGen, each otherwise a full-relation scan
+          val heavyRows = Pipeline.labeled(spark, "graft: heavy rows slice") {
+            bnds.join(broadcast(touchedHeavy), Seq("band_id", "key"), "left_semi")
+              .localCheckpoint()
+          }
+          // no explicit broadcast hint on the new-id flags: an explicit hint
+          // cannot be demoted at runtime, so a LARGE increment (the id set is
+          // increment-sized, not bounded) would OOM instead of falling back;
+          // the join keys are slim longs at topology volume, and AQE
+          // broadcasts the small-increment case on its own.
+          val na = newIds.select(col("id").as("id_a"), lit(true).as("__na"))
+          val nb = newIds.select(col("id").as("id_b"), lit(true).as("__nb"))
+          val heavyDelta = heavyPairGen(heavyRows)
+            .join(na, Seq("id_a"), "left")
+            .join(nb, Seq("id_b"), "left")
+            .filter(coalesce(col("__na"), lit(false)) || coalesce(col("__nb"), lit(false)))
+            .drop("__na", "__nb")
+          lightDelta.unionByName(heavyDelta)
+        }
     }
     sortedUrls.foreach(_.unpersist(blocking = false))
 

@@ -245,7 +245,9 @@ object Pipeline {
         // No extra storage vs before — the state hand-off already
         // checkpointed reps at exit; this is the same checkpoint, earlier,
         // reused for both the increment's work and the outgoing state.
-        val repsCk = reps.localCheckpoint()
+        val repsCk = labeled(sigs.sparkSession, "graft: incr reps checkpoint") {
+          reps.localCheckpoint()
+        }
         // new/changed vs stale reps by (url, content_id): a re-crawled url
         // (new warc_ts -> new content_id) is BOTH stale (old pairs invalid)
         // and new (delta candidates regenerate them); a demoted rep (its
@@ -268,8 +270,10 @@ object Pipeline {
         val storedBands = storedBandsFull.map(
           _.filter(col("config_fp") === cfg.configFp)
             .select(col("url"), col("band_id"), col("key")))
-        val hasNew = !newUrls.isEmpty
-        val hasStale = !staleUrls.isEmpty
+        val (hasNew, hasStale) =
+          labeled(sigs.sparkSession, "graft: incr new/stale detect") {
+            (!newUrls.isEmpty, !staleUrls.isEmpty)
+          }
         val newBandRows =
           if (hasNew) bandRowsOf(repsCk.join(newUrls, Seq("url"), "left_semi"))
             .persist(persistLevel)
@@ -314,6 +318,16 @@ object Pipeline {
           (if (cfg.substringPass) Pairs.substringPass(scoredVerified, pages, cfg)
            else scoredVerified).drop("id_a", "id_b").persist(persistLevel)
 
+        // diagnosis-only volume probe (extra jobs — keep off outside profiling)
+        if (sys.env.contains("GRAFT_INCR_DEBUG")) {
+          System.err.println(s"[incrdbg] new=${newUrls.count()} " +
+            s"stale=${staleUrls.count()} seed=${seedUrls.count()} " +
+            s"delta=${delta.count()} deltaMatched=${delta.filter(col("matched")).count()}")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get("/tmp/incr_delta_plan.txt"),
+            delta.queryExecution.executedPlan.toString().getBytes)
+        }
+
         val keptPrev = st.pairs
           .join(staleUrls.select(col("url").as("url_a")), Seq("url_a"), "left_anti")
           .join(staleUrls.select(col("url").as("url_b")), Seq("url_b"), "left_anti")
@@ -328,12 +342,17 @@ object Pipeline {
         // substring-matched pair to overlap_len=null / matched=false.
         val deltaNew = delta.select(keptPrev.columns.map(col): _*)
           .join(keptPrev.select("url_a", "url_b"), Seq("url_a", "url_b"), "left_anti")
-        val pairs = keptPrev.unionByName(deltaNew)
-          .localCheckpoint()
+        val pairs = labeled(sigs.sparkSession, "graft: incr pairs checkpoint") {
+          keptPrev.unionByName(deltaNew).localCheckpoint()
+        }
 
-        val splice = Clusters.spliceAssign(repsCk.select("url"), st.repAssign,
-          st.pairs.filter(col("matched")), delta.filter(col("matched")), staleUrls)
-        val repAssign = splice.assign.localCheckpoint()
+        val splice = labeled(sigs.sparkSession, "graft: incr splice") {
+          Clusters.spliceAssign(repsCk.select("url"), st.repAssign,
+            st.pairs.filter(col("matched")), delta.filter(col("matched")), staleUrls)
+        }
+        val repAssign = labeled(sigs.sparkSession, "graft: incr assign checkpoint") {
+          splice.assign.localCheckpoint()
+        }
         val memberClusters = members
           .join(repAssign.withColumnRenamed("url", "rep_url"), "rep_url")
           .select(col("url"), col("cluster_id"))
@@ -341,7 +360,9 @@ object Pipeline {
           .join(valid.select(col("url"), col("size"), col("text_len"), col("warc_ts")), "url")
         // same result-boundary lineage truncation as downstream(): the
         // increment-chain plans stay O(this increment) for every consumer
-        val clusters = Clusters.electKeepers(clustered).localCheckpoint()
+        val clusters = labeled(sigs.sparkSession, "graft: incr clustering") {
+          Clusters.electKeepers(clustered).localCheckpoint()
+        }
 
         val spark = sigs.sparkSession
         import spark.implicits._

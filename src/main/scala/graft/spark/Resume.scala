@@ -48,7 +48,7 @@ object Resume {
     // The live view below applies the case rule across everything committed.
     val withId = Fingerprints.dropRecrawlDuplicateUrlsEager(pages)
       .withColumn("content_id", contentIdCol)
-    val total = withId.count()
+    val total = Pipeline.labeled(spark, "graft: incr input count") { withId.count() }
     val firstRun = store.isEmpty
 
     val todo =
@@ -67,10 +67,11 @@ object Resume {
     // the full two-rule window inside the commit job.
     val newSigs = Fingerprints.pruneForMode(
       Fingerprints.fromPagesPreDeduped(todo.drop("content_id"), cfg).toDF(), cfg)
-    val newCount =
+    val newCount = Pipeline.labeled(spark, "graft: incr sig commit") {
       if (firstRun) store.commit(newSigs, cfg.configFp, "overwrite").addedRows
       else if (!todo.isEmpty) store.commit(newSigs, cfg.configFp, "append").addedRows
       else 0L
+    }
 
     // stale-config rows remain as history in older snapshots but are not live
     // for matching: the live view is config-fingerprint-filtered AND deduped

@@ -32,8 +32,10 @@ object IncrementalProfile {
       new java.util.ArrayList[(String, Double)]())
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        val p = Option(js.properties)
+        val site = p.flatMap(x => Option(x.getProperty("spark.job.description")))
+          .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
+          .getOrElse("?")
         jobs.put(js.jobId, (site, System.nanoTime()))
       }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
@@ -42,9 +44,34 @@ object IncrementalProfile {
         }
       }
     })
+    // stage-level attribution: task-time per stage NAME (the operator call
+    // site), so a hot phase decomposes into its actual operators
+    val stages = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Double, Int)]())
+    val stageDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("?")
+        js.stageIds.foreach(sid => stageDesc.put(sid, desc))
+      }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        // AQE runs stages from its own thread pool with CompletableFuture
+        // call sites — attribute through the owning job's description, with
+        // the raw operator name appended for non-AQE stages
+        val desc = Option(stageDesc.get(si.stageId)).getOrElse("?")
+        val op = if (si.name.contains("CompletableFuture")) "[aqe]" else si.name
+        stages.add((f"$desc%-34s $op",
+          si.taskMetrics.executorRunTime / 1e3, si.numTasks))
+      }
+    })
 
     def phase[T](name: String)(f: => T): T = {
       done.clear()
+      stages.clear()
       val t0 = System.nanoTime()
       val r = f
       val wall = (System.nanoTime() - t0) / 1e9
@@ -52,12 +79,23 @@ object IncrementalProfile {
         import scala.jdk.CollectionConverters._
         done.asScala.toList
       }
+      val stageSnap = {
+        import scala.jdk.CollectionConverters._
+        stages.asScala.toList
+      }
       val bySite = snap.groupBy(_._1).view
         .mapValues(v => (v.size, v.map(_._2).sum)).toList.sortBy(-_._2._2)
       println(f"[incrprof] $name%-28s $wall%7.2f s  (${snap.size} jobs, " +
         f"${snap.map(_._2).sum}%.2f s inside jobs)")
       bySite.take(8).foreach { case (site, (cnt, sum)) =>
         println(f"[incrprof]    $sum%6.2f s  x$cnt%-3d $site")
+      }
+      val byStage = stageSnap.groupBy(_._1).view
+        .mapValues(v => (v.size, v.map(_._2).sum, v.map(_._3).sum))
+        .toList.sortBy(-_._2._2)
+      byStage.takeWhile(_._2._2 > 0.5).take(12).foreach {
+        case (nm, (cnt, sum, tasks)) =>
+          println(f"[incrstage]   $sum%7.2f task-s  x$cnt%-3d ($tasks%4d tasks) $nm")
       }
       r
     }

@@ -245,4 +245,28 @@ class HeavyKeyStrategySpec extends AnyFunSuite {
       .groupBy("b").count().agg(max("count")).as[Long].head()
     assert(maxBucket < n / 2, s"salt bucket of $maxBucket rows — not spread")
   }
+
+  test("empty-heavy fast path: pair set identical to the heavy-routed " +
+      "construction under salted-triangle routing (cap invariance)") {
+    import spark.implicits._
+    // triangle routing emits every in-key pair on BOTH branches, so the
+    // candidate pair SET is invariant to heavyBandKeyCap — in particular
+    // between a cap that fires the heavy path and a cap so high that the
+    // round-6 noHeavy fast path (skip the anti-join + heavy slice when the
+    // detected set is empty) engages.
+    val base = GraftConfig(heavyKeyStar = false, heavyDetectSampleFrac = -1.0)
+    val pages = CorpusSpark.pages(spark, 800L, 4, base.seed)
+    def pairSetOf(cfg: GraftConfig): Set[(String, String)] = {
+      val reps = Fingerprints.fromPages(pages, cfg).toDF()
+        .filter(org.apache.spark.sql.functions.col("reject_reason").isNull)
+      val out = Candidates.candidatePairs(reps, cfg)
+        .select("url_a", "url_b").as[(String, String)].collect().toSet
+      Candidates.cleanupCaches(); Fingerprints.cleanupCaches()
+      out
+    }
+    val viaHeavy = pairSetOf(base.copy(heavyBandKeyCap = 5))
+    val viaFast = pairSetOf(base.copy(heavyBandKeyCap = Int.MaxValue))
+    assert(viaFast === viaHeavy)
+    assert(viaFast.nonEmpty)
+  }
 }
